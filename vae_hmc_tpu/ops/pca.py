@@ -1,0 +1,57 @@
+"""PCA via on-device SVD (sklearn.decomposition.PCA semantics).
+
+Used for the PCA baselines (reference scripts/09:77-90, 22:128-134), the
+pre-projection before UMAP/t-SNE (14:196-199) and t-SNE's pca init (08:120).
+sklearn details reproduced: column centering, deterministic component signs
+(svd_flip: largest-|loading| element of each component made positive),
+explained-variance with ddof=1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class PCA:
+    n_components: int
+    mean_: Optional[np.ndarray] = None
+    components_: Optional[np.ndarray] = None          # (k, d)
+    explained_variance_: Optional[np.ndarray] = None
+    explained_variance_ratio_: Optional[np.ndarray] = None
+
+    def fit(self, x) -> "PCA":
+        x = jnp.asarray(x, dtype=jnp.float32)
+        n, d = x.shape
+        mean = jnp.mean(x, axis=0)
+        xc = x - mean
+        # full_matrices=False: U (n,k'), s (k',), Vt (k', d)
+        u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+        # svd_flip (u-based, sklearn default): sign of the max-|u| entry per column
+        max_idx = jnp.argmax(jnp.abs(u), axis=0)
+        signs = jnp.sign(u[max_idx, jnp.arange(u.shape[1])])
+        vt = vt * signs[:, None]
+        var = (s ** 2) / (n - 1)
+        total_var = jnp.sum(jnp.var(xc, axis=0, ddof=1))
+        k = self.n_components
+        self.mean_ = np.asarray(mean)
+        self.components_ = np.asarray(vt[:k])
+        self.explained_variance_ = np.asarray(var[:k])
+        self.explained_variance_ratio_ = np.asarray(var[:k] / total_var)
+        return self
+
+    def transform(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.float32)
+        return (x - jnp.asarray(self.mean_)) @ jnp.asarray(self.components_).T
+
+    def fit_transform(self, x) -> jnp.ndarray:
+        return self.fit(x).transform(x)
+
+
+def pca_project(x, n_components: int) -> np.ndarray:
+    """One-shot helper; returns host array."""
+    return np.asarray(PCA(n_components).fit_transform(x))
