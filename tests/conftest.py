@@ -5,7 +5,9 @@ xla_force_host_platform_device_count=8 CPU devices (SURVEY.md §4).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU-tunnel plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,46 @@
+"""KMeans parity vs sklearn: same-quality solutions (ARI + inertia), not bit-RNG."""
+import numpy as np
+import pytest
+from sklearn.cluster import KMeans as SkKMeans
+from sklearn.metrics import adjusted_rand_score
+
+from vae_hmc_tpu.cluster.kmeans import kmeans, kmeans_fit_predict
+from vae_hmc_tpu.core.config import KMeansConfig
+
+
+def _blobs(rng, n=600, d=16, k=5, spread=0.8):
+    centers = rng.normal(0, 5, (k, d))
+    y = rng.integers(0, k, n)
+    return (centers[y] + rng.normal(0, spread, (n, d))).astype(np.float32), y
+
+
+def test_kmeans_recovers_blobs(rng):
+    x, y = _blobs(rng)
+    res = kmeans(x, KMeansConfig(n_clusters=5, n_init=10, seed=0))
+    assert adjusted_rand_score(res.labels, y) > 0.98
+    assert res.labels.shape == (len(x),)
+    assert res.centers.shape == (5, 16)
+
+
+def test_kmeans_matches_sklearn_quality(rng):
+    x, _ = _blobs(rng, spread=1.5)
+    res = kmeans(x, KMeansConfig(n_clusters=5, n_init=10, seed=0))
+    sk = SkKMeans(n_clusters=5, n_init=10, random_state=42).fit(x)
+    assert adjusted_rand_score(res.labels, sk.labels_) > 0.97
+    assert res.inertia <= sk.inertia_ * 1.01
+
+
+def test_kmeans_hard_overclustered(rng):
+    """k > natural clusters still must match sklearn inertia-quality."""
+    x, _ = _blobs(rng, n=400, k=3, spread=2.0)
+    res = kmeans(x, KMeansConfig(n_clusters=8, n_init=20, seed=1))
+    sk = SkKMeans(n_clusters=8, n_init=20, random_state=42).fit(x)
+    assert res.inertia <= sk.inertia_ * 1.02
+    assert len(np.unique(res.labels)) == 8  # no empty clusters survive
+
+
+def test_kmeans_deterministic(rng):
+    x, _ = _blobs(rng, n=200)
+    a = kmeans_fit_predict(x, 4, n_init=5, seed=7)
+    b = kmeans_fit_predict(x, 4, n_init=5, seed=7)
+    np.testing.assert_array_equal(a, b)

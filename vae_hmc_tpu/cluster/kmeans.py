@@ -1,0 +1,152 @@
+"""KMeans on device: greedy k-means++ init + Lloyd iterations as MXU matmuls,
+with the n_init restarts vmapped into one program.
+
+Replaces sklearn.cluster.KMeans as used throughout the reference (scripts
+07:70, 09:87, 13:120, 16:183, 20:68, 22:91 — always n_init=20, seed 42).
+The reference runs its 20 restarts serially in Cython; here all restarts run
+as one vmapped XLA program whose inner products ride the MXU, and on a
+multi-device mesh the restart axis shards (vae_hmc_tpu.parallel).
+
+Algorithmic parity with sklearn (not bit-parity — RNG streams differ):
+  - greedy k-means++ with n_local_trials = 2 + floor(log(k));
+  - Lloyd updates; convergence on squared center-shift <= tol * mean
+    per-feature variance of X (sklearn's _tolerance scaling);
+  - empty clusters re-seeded at the points currently farthest from their
+    assigned centers (same spirit as sklearn's largest-inertia relocation);
+  - best-of-n_init by final inertia.
+Tests check label agreement with sklearn via ARI and inertia ratio.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_hmc_tpu.core.config import KMeansConfig
+
+
+@dataclass
+class KMeansResult:
+    labels: np.ndarray          # (N,) int32
+    centers: np.ndarray         # (k, d)
+    inertia: float
+    n_iter: int
+
+
+def _sq_dists_to_centers(x, centers):
+    """(N, d) x (k, d) -> (N, k) squared distances (MXU path)."""
+    xn = jnp.sum(x * x, axis=1)[:, None]
+    cn = jnp.sum(centers * centers, axis=1)[None, :]
+    return jnp.maximum(
+        xn + cn - 2.0 * jnp.matmul(x, centers.T,
+                                   precision=jax.lax.Precision.HIGHEST), 0.0)
+
+
+def _kmeanspp_init(key, x, k: int):
+    """Greedy k-means++ (sklearn _kmeans_plusplus semantics)."""
+    n = x.shape[0]
+    n_local_trials = 2 + int(np.floor(np.log(k)))
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    d2 = _sq_dists_to_centers(x, centers0[:1])[:, 0]            # (N,)
+
+    def body(c, carry):
+        centers, d2, key = carry
+        key, sub = jax.random.split(key)
+        pot = jnp.sum(d2)
+        # sample n_local_trials candidate indices ~ d2 (Gumbel-free: inverse CDF)
+        r = jax.random.uniform(sub, (n_local_trials,)) * pot
+        cdf = jnp.cumsum(d2)
+        cand = jnp.searchsorted(cdf, r)
+        cand = jnp.clip(cand, 0, n - 1)
+        cand_pts = x[cand]                                      # (L, d)
+        cand_d2 = _sq_dists_to_centers(x, cand_pts)             # (N, L)
+        new_d2 = jnp.minimum(d2[:, None], cand_d2)              # (N, L)
+        pots = jnp.sum(new_d2, axis=0)                          # (L,)
+        best = jnp.argmin(pots)
+        centers = centers.at[c].set(cand_pts[best])
+        return centers, new_d2[:, best], key
+
+    carry = (centers0, d2, key)
+    for c in range(1, k):                                       # k is static & small
+        carry = body(c, carry)
+    return carry[0]
+
+
+def _lloyd(x, centers, max_iter: int, tol_scaled):
+    k = centers.shape[0]
+
+    def assign(centers):
+        d2 = _sq_dists_to_centers(x, centers)
+        labels = jnp.argmin(d2, axis=1)
+        return labels, d2
+
+    def update(centers, labels):
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)       # (N, k)
+        counts = jnp.sum(onehot, axis=0)                        # (k,)
+        sums = jnp.matmul(onehot.T, x,
+                          precision=jax.lax.Precision.HIGHEST)  # (k, d)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # empty-cluster relocation: farthest points from their centers
+        d_own = jnp.min(_sq_dists_to_centers(x, centers), axis=1)
+        order = jnp.argsort(-d_own)                             # farthest first
+        empty_rank = jnp.cumsum(counts == 0) - 1                # rank among empties
+        donor = x[order[jnp.clip(empty_rank, 0, x.shape[0] - 1)]]
+        return jnp.where((counts == 0)[:, None], donor, new)
+
+    def cond(state):
+        _, shift2, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def step(state):
+        centers, _, it, _ = state
+        labels, _ = assign(centers)
+        new_centers = update(centers, labels)
+        shift2 = jnp.sum((new_centers - centers) ** 2)
+        return new_centers, shift2, it + 1, shift2 <= tol_scaled
+
+    init = (centers, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(0), jnp.asarray(False))
+    centers, _, n_iter, _ = jax.lax.while_loop(cond, step, init)
+    labels, d2 = assign(centers)
+    inertia = jnp.sum(jnp.take_along_axis(d2, labels[:, None], axis=1))
+    return labels, centers, inertia, n_iter
+
+
+@partial(jax.jit, static_argnames=("k", "n_init", "max_iter"))
+def _kmeans_impl(x, key, k: int, n_init: int, max_iter: int, tol: float):
+    x = jnp.asarray(x, jnp.float32)
+    tol_scaled = tol * jnp.mean(jnp.var(x, axis=0))
+    keys = jax.random.split(key, n_init)
+
+    def one_restart(kk):
+        centers0 = _kmeanspp_init(kk, x, k)
+        return _lloyd(x, centers0, max_iter, tol_scaled)
+
+    labels, centers, inertias, n_iters = jax.vmap(one_restart)(keys)
+    best = jnp.argmin(inertias)
+    return labels[best], centers[best], inertias[best], n_iters[best]
+
+
+def kmeans(x, cfg: KMeansConfig = KMeansConfig(),
+           key: Optional[jax.Array] = None) -> KMeansResult:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    labels, centers, inertia, n_iter = _kmeans_impl(
+        jnp.asarray(x), key, cfg.n_clusters, cfg.n_init, cfg.max_iter, cfg.tol)
+    return KMeansResult(
+        labels=np.asarray(labels, dtype=np.int32),
+        centers=np.asarray(centers),
+        inertia=float(inertia),
+        n_iter=int(n_iter),
+    )
+
+
+def kmeans_fit_predict(x, n_clusters: int, n_init: int = 20,
+                       seed: int = 42) -> np.ndarray:
+    return kmeans(x, KMeansConfig(n_clusters=n_clusters, n_init=n_init,
+                                  seed=seed)).labels

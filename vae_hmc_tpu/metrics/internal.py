@@ -1,0 +1,123 @@
+"""Internal clustering quality metrics, on device, sklearn-parity.
+
+The reference calls sklearn's Cython implementations per sweep cell — the
+silhouette over 82k-dim flattened mel spectrograms is its single most
+expensive evaluation (reference scripts/16:237, SURVEY.md §3.4).  Here each
+metric is one jitted XLA program over an HBM-resident pairwise-distance
+matmul: for N=3k the distance matrix is 3k x 3k f32 (~36 MB), trivially
+HBM-resident, and the matmul rides the MXU.
+
+Numerics match sklearn.metrics.{silhouette_score, davies_bouldin_score,
+calinski_harabasz_score} to f32 tolerance (tests/test_metrics_parity.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _as_codes(labels) -> np.ndarray:
+    """Labels -> dense 0..k-1 int codes (sorted-unique order, sklearn-style)."""
+    labels = np.asarray(labels)
+    _, codes = np.unique(labels, return_inverse=True)
+    return codes.astype(np.int32)
+
+
+def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+    """Squared euclidean distances via the MXU: |a|^2 + |b|^2 - 2ab, clamped.
+
+    Mean-centering the features first keeps |a|^2 small relative to the cross
+    term, which is what keeps f32 cancellation error acceptable on
+    high-dimensional inputs (the 82k-dim mel-flat representation).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = x if y is None else jnp.asarray(y, jnp.float32)
+    xn = jnp.sum(x * x, axis=1)[:, None]
+    yn = jnp.sum(y * y, axis=1)[None, :]
+    # HIGHEST precision: full-f32 MXU passes.  The TPU default (bf16 inputs)
+    # destroys the cancellation-sensitive -2ab term and shows up as ~1e-3
+    # absolute error in sklearn-parity metrics.
+    d2 = xn + yn - 2.0 * jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(d2, 0.0)
+
+
+def _center(x: jax.Array) -> jax.Array:
+    return x - jnp.mean(x, axis=0, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _silhouette_impl(x, codes, n_clusters: int):
+    x = _center(jnp.asarray(x, jnp.float32))
+    n = x.shape[0]
+    d = jnp.sqrt(pairwise_sq_dists(x))
+    onehot = jax.nn.one_hot(codes, n_clusters, dtype=jnp.float32)   # (N, k)
+    counts = jnp.sum(onehot, axis=0)                                 # (k,)
+    sums = jnp.matmul(d, onehot, precision=jax.lax.Precision.HIGHEST)  # (N, k) sum dist to cluster
+    own = counts[codes]                                              # cluster size of each point
+    intra_sum = jnp.take_along_axis(sums, codes[:, None], axis=1)[:, 0]
+    a = intra_sum / jnp.maximum(own - 1.0, 1.0)
+    mean_other = sums / jnp.maximum(counts[None, :], 1.0)
+    # mask own cluster and empty clusters with +inf before min
+    mask = (jax.nn.one_hot(codes, n_clusters, dtype=bool)
+            | (counts[None, :] == 0))
+    b = jnp.min(jnp.where(mask, jnp.inf, mean_other), axis=1)
+    s = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-30)
+    s = jnp.where(own <= 1.0, 0.0, s)   # singleton clusters score 0 (sklearn)
+    return jnp.mean(s)
+
+
+def silhouette(x, labels) -> float:
+    """sklearn.metrics.silhouette_score (euclidean, full, no sampling)."""
+    codes = _as_codes(labels)
+    k = int(codes.max()) + 1 if codes.size else 0
+    if k < 2 or k > len(codes) - 1:
+        raise ValueError("silhouette requires 2 <= n_labels <= n_samples - 1")
+    return float(_silhouette_impl(jnp.asarray(x), jnp.asarray(codes), k))
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _dbi_impl(x, codes, n_clusters: int):
+    x = _center(jnp.asarray(x, jnp.float32))
+    onehot = jax.nn.one_hot(codes, n_clusters, dtype=jnp.float32)
+    counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+    centroids = jnp.matmul(onehot.T, x, precision=jax.lax.Precision.HIGHEST) / counts[:, None]
+    # mean intra-cluster distance to centroid
+    d_pc = jnp.sqrt(pairwise_sq_dists(x, centroids))                 # (N, k)
+    s = jnp.sum(d_pc * onehot, axis=0) / counts                      # (k,)
+    m = jnp.sqrt(pairwise_sq_dists(centroids))                       # (k, k)
+    r = (s[:, None] + s[None, :]) / jnp.where(m > 0, m, jnp.inf)
+    r = jnp.where(jnp.eye(n_clusters, dtype=bool), -jnp.inf, r)
+    return jnp.mean(jnp.max(r, axis=1))
+
+
+def davies_bouldin(x, labels) -> float:
+    codes = _as_codes(labels)
+    k = int(codes.max()) + 1
+    if k < 2:
+        raise ValueError("davies_bouldin requires >= 2 clusters")
+    return float(_dbi_impl(jnp.asarray(x), jnp.asarray(codes), k))
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _ch_impl(x, codes, n_clusters: int):
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    mean = jnp.mean(x, axis=0)
+    onehot = jax.nn.one_hot(codes, n_clusters, dtype=jnp.float32)
+    counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+    centroids = jnp.matmul(onehot.T, x, precision=jax.lax.Precision.HIGHEST) / counts[:, None]
+    extra = jnp.sum(counts * jnp.sum((centroids - mean) ** 2, axis=1))
+    assigned = centroids[codes]
+    intra = jnp.sum((x - assigned) ** 2)
+    return (extra / jnp.maximum(intra, 1e-30)) * (n - n_clusters) / (n_clusters - 1.0)
+
+
+def calinski_harabasz(x, labels) -> float:
+    codes = _as_codes(labels)
+    k = int(codes.max()) + 1
+    if k < 2:
+        raise ValueError("calinski_harabasz requires >= 2 clusters")
+    return float(_ch_impl(jnp.asarray(x), jnp.asarray(codes), k))

@@ -123,6 +123,7 @@ def apply_mel(spec: jax.Array, fb: jax.Array) -> jax.Array:
     per-track on CPU.
     """
     return jnp.einsum("mf,bft->bmt", fb, spec,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
 

@@ -44,6 +44,7 @@ def mfcc_batch(y: jax.Array, cfg: MfccConfig = MfccConfig()) -> jax.Array:
     db = power_to_db(mel, ref_max=False, top_db=80.0)          # librosa mfcc default
     dct = jnp.asarray(dct_ii_matrix(cfg.n_mfcc, cfg.n_mels))
     return jnp.einsum("km,bmt->bkt", dct, db,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
 
