@@ -1,0 +1,138 @@
+"""High-level train/export entry points used by the pipelines.
+
+Each function reproduces one reference training experiment end-to-end
+(model init -> fused training -> posterior-mean latent export) and returns
+(params, history, latents_mu).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
+                                     DenseVaeConfig, HardVaeConfig)
+from vae_hmc_tpu.models.ae import AE
+from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE
+from vae_hmc_tpu.models.dense_vae import DenseVAE
+from vae_hmc_tpu.models.train import FitResult, encode_in_batches, fit
+
+
+def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
+                    verbose: bool = False):
+    """Easy-tier basic VAE (reference scripts/06): x is the standardized
+    (N, 80) MFCC-stats matrix."""
+    model = DenseVAE(input_dim=x.shape[1], hidden_dims=tuple(cfg.hidden_dims),
+                     latent_dim=cfg.latent_dim)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, jnp.zeros((1, x.shape[1])), key)
+
+    def apply_fn(p, rng, xb):
+        return model.apply(p, xb, rng)
+
+    res = fit(apply_fn, params, (jnp.asarray(x, jnp.float32),),
+              epochs=cfg.epochs, batch_size=cfg.batch_size,
+              learning_rate=cfg.learning_rate, beta=cfg.beta,
+              reduction=cfg.loss_reduction, seed=cfg.seed, verbose=verbose)
+
+    def encode_mu(p, xb):
+        return model.apply(p, xb, method=model.encode)[0]
+
+    mu = encode_in_batches(encode_mu, res.params, (jnp.asarray(x, jnp.float32),))
+    return model, res, mu
+
+
+def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
+                   cond: Optional[np.ndarray] = None,
+                   verbose: bool = False):
+    """Hard-tier Beta-VAE / CVAE (reference scripts/19): x is the early-fused
+    (N, D) feature matrix (optionally with one-hots already appended,
+    19:174-177); `cond` is the CVAE conditioning one-hot (19:180-189)."""
+    cond_dim = 0 if (cond is None or not cfg.use_cvae) else cond.shape[1]
+    model = DenseVAE(input_dim=x.shape[1],
+                     hidden_dims=(cfg.hidden_dim, cfg.hidden_dim),
+                     latent_dim=cfg.latent_dim, cond_dim=cond_dim)
+    key = jax.random.PRNGKey(cfg.seed)
+    arrays = [jnp.asarray(x, jnp.float32)]
+    if cond_dim:
+        arrays.append(jnp.asarray(cond, jnp.float32))
+        params = model.init(key, jnp.zeros((1, x.shape[1])), key,
+                            jnp.zeros((1, cond_dim)))
+
+        def apply_fn(p, rng, xb, cb):
+            return model.apply(p, xb, rng, cb)
+
+        def encode_mu(p, xb, cb):
+            return model.apply(p, xb, cb, method=model.encode)[0]
+    else:
+        params = model.init(key, jnp.zeros((1, x.shape[1])), key)
+
+        def apply_fn(p, rng, xb):
+            return model.apply(p, xb, rng)
+
+        def encode_mu(p, xb):
+            return model.apply(p, xb, method=model.encode)[0]
+
+    res = fit(apply_fn, params, arrays,
+              epochs=cfg.epochs, batch_size=cfg.batch_size,
+              learning_rate=cfg.learning_rate, beta=cfg.beta,
+              reduction=cfg.loss_reduction, seed=cfg.seed,
+              kl_anneal_epochs=cfg.kl_anneal_epochs, verbose=verbose)
+    mu = encode_in_batches(encode_mu, res.params, arrays)
+    return model, res, mu
+
+
+def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
+                      cfg: ConvMMVaeConfig, verbose: bool = False):
+    """Medium-tier conv multimodal VAE (reference scripts/12).
+
+    x_nhwc: (N, n_mels, T, 1) standardized log-mel; lyr: (N, 384) aligned
+    lyrics embeddings (zeros when missing); mask: (N, 1) presence gate.
+    """
+    model = ConvMMVAE(n_mels=x_nhwc.shape[1], n_frames=x_nhwc.shape[2],
+                      channels=tuple(cfg.audio_channels), fc_dim=cfg.audio_fc_dim,
+                      latent_dim=cfg.latent_dim, lyrics_dim=lyr.shape[1])
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, jnp.zeros((1,) + x_nhwc.shape[1:]),
+                        jnp.zeros((1, lyr.shape[1])), jnp.zeros((1, 1)), key)
+
+    def apply_fn(p, rng, xb, lb, mb):
+        return model.apply(p, xb, lb, mb, rng)
+
+    arrays = (jnp.asarray(x_nhwc, jnp.float32), jnp.asarray(lyr, jnp.float32),
+              jnp.asarray(mask, jnp.float32).reshape(-1, 1))
+    res = fit(apply_fn, params, arrays,
+              epochs=cfg.epochs, batch_size=cfg.batch_size,
+              learning_rate=cfg.learning_rate, beta=cfg.beta,
+              reduction=cfg.loss_reduction, seed=cfg.seed, verbose=verbose)
+
+    def encode_mu(p, xb, lb, mb):
+        return model.apply(p, xb, lb, mb, method=model.encode)[0]
+
+    mu = encode_in_batches(encode_mu, res.params, arrays, batch_size=256)
+    return model, res, mu
+
+
+def train_ae(x: np.ndarray, cfg: AeConfig, verbose: bool = False):
+    """Deterministic AE baseline (reference scripts/22:139-171)."""
+    model = AE(input_dim=x.shape[1], hidden_dim=cfg.hidden_dim,
+               latent_dim=cfg.latent_dim)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, jnp.zeros((1, x.shape[1])))
+
+    def apply_fn(p, rng, xb):
+        xhat, z = model.apply(p, xb)
+        return (xhat,)
+
+    res = fit(apply_fn, params, (jnp.asarray(x, jnp.float32),),
+              epochs=cfg.epochs, batch_size=cfg.batch_size,
+              learning_rate=cfg.learning_rate, seed=cfg.seed,
+              variational=False, verbose=verbose)
+
+    def encode_z(p, xb):
+        return model.apply(p, xb, method=model.encode)
+
+    z = encode_in_batches(encode_z, res.params, (jnp.asarray(x, jnp.float32),))
+    return model, res, z

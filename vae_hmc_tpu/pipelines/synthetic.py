@@ -1,0 +1,123 @@
+"""Deterministic synthetic dataset: genre-structured waveforms + lyrics.
+
+The reference assumes the FMA-small mp3 tree on disk; this environment (and
+any CI) has none, so the framework ships a synthetic-waveform mode that
+exercises every pipeline stage with the real kernels (SURVEY.md §7 build
+plan step 3: "a synthetic-waveform mode so the stack is testable without FMA
+downloads").
+
+Each synthetic genre is a distinct audio recipe (fundamental frequency
+register, harmonic decay, noise floor, AM rate), so MFCC/mel features are
+genuinely clusterable and the VAE -> KMeans -> metrics chain produces
+non-degenerate silhouettes/ARI like the real data does.  Generation is keyed
+by (seed, track_id) so any subset regenerates identically.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+GENRES = ("Experimental", "Folk", "Hip-Hop", "International", "Pop", "Rock")
+# distinct per-genre audio recipes: (f0 range, n harmonics, harmonic decay,
+# noise level, AM rate Hz)
+_RECIPES = {
+    "International": ((55.0, 110.0), 3, 0.3, 0.02, 4.0),
+    "Experimental": ((200.0, 900.0), 7, 0.9, 0.30, 0.3),
+    "Folk":         ((196.0, 392.0), 5, 0.5, 0.05, 1.0),
+    "Hip-Hop":      ((65.0, 130.0), 2, 0.4, 0.15, 2.0),
+    "Pop":          ((262.0, 523.0), 4, 0.45, 0.04, 1.5),
+    "Rock":         ((110.0, 220.0), 6, 0.7, 0.12, 2.5),
+}
+
+_LYRIC_VOCAB = {
+    "International": "night lights neon pulse machine dance floor glow echo wire",
+    "Experimental": "texture drift static field shape silence granular hiss form",
+    "Folk": "river mountain home winter road heart wooden child morning land",
+    "Hip-Hop": "street flow hustle city block mic rhyme crown chain game",
+    "Pop": "love baby heart tonight forever dance shine dream kiss stay",
+    "Rock": "fire road thunder midnight engine scream wild steel run blood",
+}
+
+
+@dataclass
+class SyntheticDataset:
+    track_ids: np.ndarray            # (N,) int64
+    genres: np.ndarray               # (N,) str
+    titles: List[str]
+    artists: List[str]
+    has_lyrics: np.ndarray           # (N,) bool (some tracks missing text)
+    lyrics: List[Optional[str]]
+    sample_rate: int = 22050
+
+    def __len__(self):
+        return len(self.track_ids)
+
+    def manifest_rows(self) -> List[Dict[str, str]]:
+        rows = []
+        for i, tid in enumerate(self.track_ids):
+            rows.append({
+                "track_id": str(int(tid)),
+                "title": self.titles[i],
+                "artist": self.artists[i],
+                "genre": str(self.genres[i]),
+                "audio_path": f"synthetic://{int(tid)}",
+                "lyrics_path": "",
+                "lyrics_source": "synthetic" if self.has_lyrics[i] else "",
+                "text_path_combined": "",
+                "text_source_combined": "synthetic" if self.has_lyrics[i] else "",
+                "text_exists": str(bool(self.has_lyrics[i])),
+            })
+        return rows
+
+
+def make_dataset(n_tracks: int = 2924, seed: int = 42,
+                 lyrics_coverage: float = 0.9,
+                 genres: Sequence[str] = GENRES) -> SyntheticDataset:
+    rng = np.random.default_rng(seed)
+    g = np.asarray([genres[i % len(genres)] for i in range(n_tracks)])
+    rng.shuffle(g)
+    track_ids = np.arange(100000, 100000 + n_tracks, dtype=np.int64)
+    has_lyrics = rng.random(n_tracks) < lyrics_coverage
+    lyrics: List[Optional[str]] = []
+    for i in range(n_tracks):
+        if not has_lyrics[i]:
+            lyrics.append(None)
+            continue
+        vocab = _LYRIC_VOCAB[str(g[i])].split()
+        r = np.random.default_rng(seed * 1000003 + int(track_ids[i]))
+        words = r.choice(vocab, size=60, replace=True)
+        lyrics.append(" ".join(words))
+    titles = [f"track {int(t)}" for t in track_ids]
+    artists = [f"artist {int(t) % 97}" for t in track_ids]
+    return SyntheticDataset(track_ids=track_ids, genres=g, titles=titles,
+                            artists=artists, has_lyrics=has_lyrics,
+                            lyrics=lyrics)
+
+
+def waveform(track_id: int, genre: str, duration_s: float, seed: int = 42,
+             sample_rate: int = 22050) -> np.ndarray:
+    """Deterministic per-track waveform from the genre recipe."""
+    (f_lo, f_hi), n_harm, decay, noise, am = _RECIPES[str(genre)]
+    r = np.random.default_rng(seed * 7 + int(track_id))
+    n = int(round(sample_rate * duration_s))
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    f0 = r.uniform(f_lo, f_hi)
+    sig = np.zeros(n)
+    for h in range(1, n_harm + 1):
+        amp = decay ** (h - 1)
+        sig += amp * np.sin(2 * np.pi * f0 * h * t + r.uniform(0, 2 * np.pi))
+    sig *= 1.0 + 0.5 * np.sin(2 * np.pi * am * t + r.uniform(0, 2 * np.pi))
+    sig += noise * r.standard_normal(n)
+    sig *= 0.3 / (np.max(np.abs(sig)) + 1e-9)
+    return sig.astype(np.float32)
+
+
+def waveform_batch(ds: SyntheticDataset, idx: Sequence[int],
+                   duration_s: float, seed: int = 42) -> np.ndarray:
+    return np.stack([
+        waveform(int(ds.track_ids[i]), str(ds.genres[i]), duration_s, seed,
+                 ds.sample_rate)
+        for i in idx
+    ])
