@@ -173,14 +173,13 @@ def save_checkpoint(path: Path, params, metadata: Optional[Dict] = None,
         flat[key] = np.asarray(leaf)
 
     def _w(p: Path):
-        np.savez(p, **flat)
+        # write through a file handle so np.savez cannot append '.npz' —
+        # the contract filename may be e.g. 'vae_basic.pt' (ref 06:347)
+        with open(p, "wb") as f:
+            np.savez(f, **flat)
         meta_p = p.with_suffix(p.suffix + ".meta.json")
         meta_p.write_text(json.dumps(metadata or {}, indent=2, default=_json_default))
-    # np.savez appends .npz if missing; normalize the path first
-    path = Path(path)
-    if path.suffix not in (".npz", ".pt"):
-        path = path.with_suffix(".npz")
-    return save_and_snapshot(_w, path, tag)
+    return save_and_snapshot(_w, Path(path), tag)
 
 
 def _keystr(k) -> str:

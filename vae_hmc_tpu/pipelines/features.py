@@ -1,0 +1,135 @@
+"""Feature-extraction drivers: source -> device kernels -> file contract.
+
+Replaces the per-track librosa hot loops (reference scripts/06:92-141 MFCC,
+10:113-190 log-mel, 18:160-196 hard prep) with device-batched extraction:
+the host stages a (B, n_samples) waveform block, the fused STFT->mel->
+(DCT->stats | dB) kernel runs on device, and results land in the same .npy /
+report-CSV contract the reference writes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vae_hmc_tpu.core.artifacts import save_csv_rows
+from vae_hmc_tpu.core.config import MelConfig, MfccConfig
+from vae_hmc_tpu.ops import mel as mel_ops
+from vae_hmc_tpu.ops import mfcc as mfcc_ops
+from vae_hmc_tpu.ops.stft import pad_with_reflect_tail
+from vae_hmc_tpu.pipelines.sources import Source
+
+
+@dataclass
+class BuildReport:
+    rows: List[Tuple]                    # (track_id, audio_path, status, reason)
+
+    def ok_count(self) -> int:
+        return sum(1 for r in self.rows if r[2] == "ok")
+
+    def save(self, path: Path) -> Path:
+        return save_csv_rows(path, ["track_id", "audio_path", "status", "reason"],
+                             self.rows)
+
+
+def build_mfcc_stats(
+    source: Source,
+    cfg: MfccConfig,
+    device_batch: int = 64,
+    strict: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, BuildReport]:
+    """-> (X (N_ok, 2*n_mfcc) f32, track_ids (N_ok,), report).
+
+    Easy preset (fixed-length pad, reference 06:56-89): every track padded /
+    trimmed to duration_s, stats over all frames.
+    Hard preset (min_duration_s>0, reference 18:73-97): tracks shorter than
+    min_duration are skipped; stats are masked to true frame counts.
+    """
+    n = len(source)
+    feats, ids, rows = [], [], []
+    masked = cfg.min_duration_s > 0
+    min_len = int(cfg.sample_rate * cfg.min_duration_s)
+    for s in range(0, n, device_batch):
+        idx = list(range(s, min(s + device_batch, n)))
+        batch, lengths, errors = source.waveforms(idx, cfg.duration_s)
+        if masked:
+            # keep true lengths: short clips are NOT padded into the stats
+            # (reference 18:88 loads duration<=20 s at true length); the
+            # reflect tail makes boundary frames exact (see ops.stft).
+            staged = np.stack([
+                pad_with_reflect_tail(batch[r, :max(int(lengths[r]), 2)],
+                                      cfg.n_samples, cfg.n_fft)
+                for r in range(len(idx))
+            ])
+            f = np.asarray(mfcc_ops.mfcc_stats_batch(
+                jnp.asarray(staged), cfg, lengths=jnp.asarray(lengths)))
+        else:
+            f = np.asarray(mfcc_ops.mfcc_stats_batch(jnp.asarray(batch), cfg))
+        for r, i in enumerate(idx):
+            tid = int(source.track_ids[i])
+            path = getattr(source, "paths", None)
+            pstr = str(path[i]) if path is not None else f"synthetic://{tid}"
+            if errors[r] is not None:
+                if strict:
+                    raise RuntimeError(f"track {tid}: {errors[r]}")
+                rows.append((tid, pstr, "error", errors[r]))
+                continue
+            if masked and int(lengths[r]) < min_len:   # <1 s skip (ref 18:88)
+                rows.append((tid, pstr, "skipped", "too_short"))
+                continue
+            if not np.all(np.isfinite(f[r])):
+                rows.append((tid, pstr, "error", "non_finite_features"))
+                continue
+            feats.append(f[r])
+            ids.append(tid)
+            rows.append((tid, pstr, "ok", ""))
+    if not feats:
+        raise RuntimeError("no tracks produced features")
+    return (np.stack(feats).astype(np.float32),
+            np.asarray(ids, dtype=np.int64), BuildReport(rows))
+
+
+def build_logmel(
+    source: Source,
+    cfg: MelConfig,
+    device_batch: int = 32,
+    strict: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, BuildReport]:
+    """-> (X (N_ok, 1, n_mels, T) f32 file-contract layout, ids, report).
+
+    Reproduces reference scripts/10: fixed 15 s pad/trim, log-mel dB with
+    per-sample ref=max, per-sample standardization, T locked by config
+    (the reference locks T to the first processed sample, 10:113-156 — with
+    static framing T is deterministic: 1 + n_samples // hop).
+    """
+    n = len(source)
+    feats, ids, rows = [], [], []
+    for s in range(0, n, device_batch):
+        idx = list(range(s, min(s + device_batch, n)))
+        batch, lengths, errors = source.waveforms(idx, cfg.duration_s)
+        x = mel_ops.logmel_batch(jnp.asarray(batch), cfg)
+        if cfg.per_sample_standardize:
+            x = mel_ops.per_sample_standardize(x)
+        x = np.asarray(x)
+        for r, i in enumerate(idx):
+            tid = int(source.track_ids[i])
+            path = getattr(source, "paths", None)
+            pstr = str(path[i]) if path is not None else f"synthetic://{tid}"
+            if errors[r] is not None:
+                if strict:
+                    raise RuntimeError(f"track {tid}: {errors[r]}")
+                rows.append((tid, pstr, "error", errors[r]))
+                continue
+            if not np.all(np.isfinite(x[r])):
+                rows.append((tid, pstr, "error", "non_finite_features"))
+                continue
+            feats.append(x[r])
+            ids.append(tid)
+            rows.append((tid, pstr, "ok", ""))
+    if not feats:
+        raise RuntimeError("no tracks produced features")
+    X = np.stack(feats)[:, None, :, :].astype(np.float32)   # (N, 1, mels, T)
+    return X, np.asarray(ids, dtype=np.int64), BuildReport(rows)
