@@ -1,0 +1,71 @@
+"""Agglomerative ward + DBSCAN parity vs sklearn, and text-module parity."""
+import numpy as np
+import pytest
+from sklearn.cluster import DBSCAN as SkDBSCAN
+from sklearn.cluster import AgglomerativeClustering
+from sklearn.metrics import adjusted_rand_score
+
+from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
+from vae_hmc_tpu.cluster.dbscan import dbscan, dbscan_sweep
+
+
+def _blobs(rng, n=150, d=8, k=4, spread=0.8):
+    centers = rng.normal(0, 5, (k, d))
+    y = rng.integers(0, k, n)
+    return (centers[y] + rng.normal(0, spread, (n, d))).astype(np.float32), y
+
+
+def test_ward_matches_sklearn(rng):
+    x, _ = _blobs(rng)
+    for k in (2, 4, 6):
+        ours = agglomerative_ward(x, k)
+        sk = AgglomerativeClustering(n_clusters=k, linkage="ward").fit_predict(x)
+        assert adjusted_rand_score(ours, sk) == pytest.approx(1.0), f"k={k}"
+
+
+def test_ward_matches_sklearn_overlapping(rng):
+    x, _ = _blobs(rng, n=120, spread=2.5)
+    ours = agglomerative_ward(x, 5)
+    sk = AgglomerativeClustering(n_clusters=5, linkage="ward").fit_predict(x)
+    assert adjusted_rand_score(ours, sk) == pytest.approx(1.0)
+
+
+def test_dbscan_matches_sklearn_exactly(rng):
+    x, _ = _blobs(rng, n=200, spread=1.0)
+    for eps, ms in [(1.5, 5), (2.5, 3), (4.0, 8), (0.5, 5)]:
+        ours = dbscan(x, eps, ms)
+        sk = SkDBSCAN(eps=eps, min_samples=ms).fit_predict(x)
+        np.testing.assert_array_equal(ours, sk), f"eps={eps},ms={ms}"
+
+
+def test_dbscan_sweep_consistent(rng):
+    x, _ = _blobs(rng, n=120)
+    grid = dbscan_sweep(x, [1.5, 3.0], [3, 5])
+    for (eps, ms), labels in grid.items():
+        np.testing.assert_array_equal(labels, dbscan(x, eps, ms))
+
+
+def test_tfidf_matches_sklearn():
+    from sklearn.feature_extraction.text import TfidfVectorizer as SkT
+    from vae_hmc_tpu.text.tfidf import TfidfVectorizer
+
+    docs = ["the cat sat on the mat", "dogs and cats living together",
+            "mat cat cat dog", "completely unrelated words here",
+            "the the the of of a an"]
+    ours = TfidfVectorizer().fit_transform(docs)
+    sk = SkT().fit_transform(docs).toarray()
+    assert ours.shape == sk.shape
+    np.testing.assert_allclose(ours, sk, atol=1e-6)
+
+    ours2 = TfidfVectorizer(max_features=5, stop_words="english").fit_transform(docs)
+    sk2 = SkT(max_features=5, stop_words="english").fit_transform(docs).toarray()
+    np.testing.assert_allclose(ours2, sk2, atol=1e-6)
+
+
+def test_langdetect_semantics():
+    from vae_hmc_tpu.text.langdetect import detect_language_simple
+    assert detect_language_simple("hello world") == "en"
+    assert detect_language_simple("আমার সোনার বাংলা") == "bn"
+    assert detect_language_simple("1234 !!!") == "other"
+    assert detect_language_simple("") == "none"
+    assert detect_language_simple(None) == "none"

@@ -1,0 +1,189 @@
+"""Clustering suite + full sweep drivers (reference scripts 13 and 16).
+
+Structural improvement over the reference: each representation's (N, N)
+euclidean distance matrix is computed ONCE on device and shared by
+  - every DBSCAN cell (epsilon-graph thresholding),
+  - every silhouette evaluation,
+  - the ward linkage
+instead of being recomputed inside sklearn for each of the 102 cells
+(reference scripts/16:159-244).  KMeans cells run the vmapped-restart device
+kernel.  Row schema and scoring match the reference CSVs exactly:
+  13: sil + ari - 0.2*dbi ranking (13:226-231);
+  16: conservative score sil + ari - 0.2*dbi - 0.8*noise_frac (16:109-117).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
+from vae_hmc_tpu.cluster.kmeans import kmeans
+from vae_hmc_tpu.core.config import KMeansConfig
+from vae_hmc_tpu.metrics import external, internal
+from vae_hmc_tpu.metrics.safe import safe_ari
+
+
+@dataclass
+class RepData:
+    """A representation prepared for sweeping: features + cached distances."""
+
+    name: str
+    x: np.ndarray                       # (N, d) float32 (flattened if needed)
+    y_true: Optional[np.ndarray]        # (N,) genre strings or None
+    dists: np.ndarray                   # (N, N) euclidean distances (cached)
+
+    @classmethod
+    def build(cls, name: str, x: np.ndarray,
+              y_true: Optional[np.ndarray]) -> "RepData":
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+        import jax.numpy as jnp
+        xc = jnp.asarray(x) - jnp.mean(jnp.asarray(x), axis=0, keepdims=True)
+        d = np.asarray(jnp.sqrt(internal.pairwise_sq_dists(xc)))
+        return cls(name=name, x=x, y_true=y_true, dists=d)
+
+
+def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
+    keep = yhat != -1
+    lk = yhat[keep]
+    if len(np.unique(lk)) < 2 or len(lk) < 3:
+        return None
+    try:
+        d = rep.dists[np.ix_(keep, keep)] if not keep.all() else rep.dists
+        return internal.silhouette_from_dists(d, lk)
+    except Exception:
+        return None
+
+
+def _safe_dbi(rep: RepData, yhat: np.ndarray) -> Optional[float]:
+    keep = yhat != -1
+    lk = yhat[keep]
+    if len(np.unique(lk)) < 2:
+        return None
+    try:
+        return internal.davies_bouldin(rep.x[keep], lk)
+    except Exception:
+        return None
+
+
+def evaluate_cell(rep: RepData, algo: str, params: str,
+                  yhat: np.ndarray, with_noise_frac: bool) -> Dict:
+    uniq = np.unique(yhat)
+    n_noise = int(np.sum(yhat == -1)) if -1 in uniq else 0
+    n_found = len([u for u in uniq.tolist() if u != -1])
+    sil = _safe_sil_d(rep, yhat)
+    dbi = _safe_dbi(rep, yhat)
+    ari = safe_ari(rep.y_true, yhat) if rep.y_true is not None else None
+    row = {
+        "representation": rep.name,
+        "algo": algo,
+        "params": params,
+        "n_clusters_found": (len(uniq) if algo in ("kmeans", "agglomerative")
+                             else n_found),
+        "n_noise": n_noise,
+        "silhouette": sil,
+        "davies_bouldin": dbi,
+        "ari": ari,
+    }
+    if with_noise_frac:
+        noise_frac = float(n_noise) / float(len(yhat))
+        row["noise_frac"] = noise_frac
+        row["score"] = conservative_score(sil, dbi, ari, noise_frac)
+    return row
+
+
+def conservative_score(sil, dbi, ari, noise_frac) -> float:
+    """Reference scripts/16:109-117."""
+    sil_v = sil if sil is not None else -1.0
+    dbi_v = dbi if dbi is not None else 10.0
+    ari_v = ari if ari is not None else 0.0
+    return float(sil_v) + float(ari_v) - 0.2 * float(dbi_v) - 0.8 * float(noise_frac)
+
+
+def heuristic_score(row: Dict) -> float:
+    """Reference scripts/13:226-231 ranking."""
+    sil = row["silhouette"] if row["silhouette"] is not None else -1.0
+    dbi = row["davies_bouldin"] if row["davies_bouldin"] is not None else 10.0
+    ari = row["ari"] if row["ari"] is not None else 0.0
+    return float(sil) + float(ari) - 0.2 * float(dbi)
+
+
+def _dbscan_labels_from_dists(d: np.ndarray, eps: float,
+                              min_samples: int) -> np.ndarray:
+    adj = d <= eps
+    n = adj.shape[0]
+    counts = adj.sum(axis=1)
+    core = counts >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        labels[i] = cluster
+        stack = [i]
+        while stack:
+            p = stack.pop()
+            if not core[p]:
+                continue
+            for q in np.flatnonzero(adj[p]):
+                if labels[q] == -1:
+                    labels[q] = cluster
+                    if core[q]:
+                        stack.append(q)
+        cluster += 1
+    return labels
+
+
+def cluster_suite(rep: RepData, n_clusters: int,
+                  dbscan_eps: Sequence[float] = (0.4, 0.6, 0.8, 1.0, 1.2),
+                  dbscan_min_samples: int = 5,
+                  kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
+    """Reference scripts/13:116-151 run_cluster_suite."""
+    rows = []
+    km = kmeans(rep.x, KMeansConfig(n_clusters=n_clusters,
+                                    n_init=kmeans_n_init, seed=seed))
+    rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}", km.labels,
+                              with_noise_frac=False))
+    ag = agglomerative_ward(rep.x, n_clusters)
+    rows.append(evaluate_cell(rep, "agglomerative", f"k={n_clusters},ward",
+                              ag, with_noise_frac=False))
+    for eps in dbscan_eps:
+        yhat = _dbscan_labels_from_dists(rep.dists, eps, dbscan_min_samples)
+        rows.append(evaluate_cell(
+            rep, "dbscan", f"eps={eps},min={dbscan_min_samples}", yhat,
+            with_noise_frac=False))
+    return rows
+
+
+def full_sweep(rep: RepData,
+               ks: Sequence[int] = (4, 5, 6, 7, 8),
+               eps_values: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                                              0.9, 1.0),
+               min_samples_values: Sequence[int] = (3, 5, 8),
+               kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
+    """Reference scripts/16:159-244: per representation,
+    (k x {kmeans, agglomerative}) + (eps x min_samples) DBSCAN grid."""
+    rows = []
+    merges = None
+    for k in ks:
+        km = kmeans(rep.x, KMeansConfig(n_clusters=k, n_init=kmeans_n_init,
+                                        seed=seed))
+        rows.append(evaluate_cell(rep, "kmeans", f"k={k}", km.labels,
+                                  with_noise_frac=True))
+        if merges is None:
+            from vae_hmc_tpu.cluster.agglomerative import (
+                cut_tree_n_clusters, ward_linkage_matrix)
+            merges = ward_linkage_matrix(rep.x)
+        from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
+        ag = cut_tree_n_clusters(merges, len(rep.x), k)
+        rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,
+                                  with_noise_frac=True))
+    for eps in eps_values:
+        for ms in min_samples_values:
+            yhat = _dbscan_labels_from_dists(rep.dists, eps, ms)
+            rows.append(evaluate_cell(rep, "dbscan", f"eps={eps},min={ms}",
+                                      yhat, with_noise_frac=True))
+    return rows

@@ -51,8 +51,12 @@ def _center(x: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("n_clusters",))
 def _silhouette_impl(x, codes, n_clusters: int):
     x = _center(jnp.asarray(x, jnp.float32))
-    n = x.shape[0]
     d = jnp.sqrt(pairwise_sq_dists(x))
+    return _silhouette_from_d(d, codes, n_clusters)
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _silhouette_from_d(d, codes, n_clusters: int):
     onehot = jax.nn.one_hot(codes, n_clusters, dtype=jnp.float32)   # (N, k)
     counts = jnp.sum(onehot, axis=0)                                 # (k,)
     sums = jnp.matmul(d, onehot, precision=jax.lax.Precision.HIGHEST)  # (N, k) sum dist to cluster
@@ -76,6 +80,21 @@ def silhouette(x, labels) -> float:
     if k < 2 or k > len(codes) - 1:
         raise ValueError("silhouette requires 2 <= n_labels <= n_samples - 1")
     return float(_silhouette_impl(jnp.asarray(x), jnp.asarray(codes), k))
+
+
+def silhouette_from_dists(d, labels) -> float:
+    """Silhouette from a precomputed (N, N) euclidean distance matrix.
+
+    Lets a sweep reuse ONE device distance matrix across every clustering
+    cell — the reference recomputes the O(N^2 d) distances inside sklearn for
+    each of its 102 sweep cells (scripts/16:159-244), which on the 82k-dim
+    mel-flat representation is its dominant cost (SURVEY.md §3.4)."""
+    codes = _as_codes(labels)
+    k = int(codes.max()) + 1 if codes.size else 0
+    if k < 2 or k > len(codes) - 1:
+        raise ValueError("silhouette requires 2 <= n_labels <= n_samples - 1")
+    return float(_silhouette_from_d(jnp.asarray(d, jnp.float32),
+                                    jnp.asarray(codes), k))
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))

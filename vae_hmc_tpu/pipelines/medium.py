@@ -1,0 +1,465 @@
+"""Medium tier: log-mel + lyrics embeddings -> conv multimodal VAE ->
+clustering suites, sweeps, reports and visualizations.
+
+Reproduces the artifact contract of reference scripts 10-17:
+
+  data/audio_cnn_mel_X.npy (N,1,128,T) + audio_cnn_mel_track_ids.npy
+  results/audio_cnn_mel_build_report.csv                      (script 10)
+  data/lyrics_embeddings.npy (M,D) + lyrics_track_ids.npy
+  results/lyrics_embedding_report.csv                         (script 11)
+  results/vae_conv_mm_medium/{train_log.csv, ckpt_epoch_NNN.pt}
+  data/vae_mm_latents_mu.npy + vae_mm_latents_track_ids.npy   (script 12)
+  results/medium_clustering_metrics_all.csv                   (script 13)
+  results/cluster_viz/<tag>_<repr>_<method>_<proj>_{clusters,truegenre}.png
+                      + _summary.txt                          (script 14)
+  results/cluster_viz/side_by_side_medium.png
+    + lyrics_dbscan_eps_sweep_{clusters,noise}_medium.png     (script 15)
+  results/medium_full_sweep_metrics.csv + best tables         (script 16)
+  results/report_medium/best_filtered*.csv + plots            (script 17)
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vae_hmc_tpu.core import artifacts
+from vae_hmc_tpu.core.align import align_secondary_to_primary, labels_for_ids
+from vae_hmc_tpu.core.config import (ConvMMVaeConfig, MelConfig, SweepConfig,
+                                     TextEmbedConfig, Workspace, asdict)
+from vae_hmc_tpu.cluster import sweep as sweep_mod
+from vae_hmc_tpu.cluster.sweep import RepData
+from vae_hmc_tpu.models import api as model_api
+from vae_hmc_tpu.models.conv_mm_vae import to_nhwc
+from vae_hmc_tpu.ops.scaler import StandardScaler
+from vae_hmc_tpu.pipelines import features
+from vae_hmc_tpu.pipelines.sources import Source
+from vae_hmc_tpu.viz import plots
+
+
+# ---------------------------------------------------------------------------
+# Script 10: log-mel features
+# ---------------------------------------------------------------------------
+
+
+def build_audio_features(source: Source, ws: Workspace,
+                         cfg: MelConfig = MelConfig(),
+                         device_batch: int = 32) -> Dict:
+    x, ids, report = features.build_logmel(source, cfg, device_batch)
+    ws.data.mkdir(parents=True, exist_ok=True)
+    np.save(ws.data / "audio_cnn_mel_X.npy", x)
+    np.save(ws.data / "audio_cnn_mel_track_ids.npy", ids)
+    report.save(ws.results / "audio_cnn_mel_build_report.csv")
+    return {"x": x, "ids": ids, "report": report}
+
+
+# ---------------------------------------------------------------------------
+# Script 11: lyrics embeddings
+# ---------------------------------------------------------------------------
+
+
+def build_lyrics_embeddings(source: Source, ws: Workspace,
+                            cfg: TextEmbedConfig = TextEmbedConfig()) -> Dict:
+    """Embeds rows with >= cfg.min_chars of text (reference scripts/11:43);
+    skipped rows recorded in the report CSV (11:58-76)."""
+    from vae_hmc_tpu.text.embed import embed_texts
+
+    texts, ids, rows = [], [], []
+    for i in range(len(source)):
+        tid = int(source.track_ids[i])
+        t = source.lyrics_text(i) or ""
+        n_chars = len(t.strip())
+        if n_chars < cfg.min_chars:
+            rows.append((tid, "skipped", "too_short", n_chars))
+            continue
+        texts.append(t)
+        ids.append(tid)
+        rows.append((tid, "ok", "", n_chars))
+    if not texts:
+        raise RuntimeError("no rows had usable text")
+    # medium tier wants a fixed-width dense embedding (the conv VAE's lyrics
+    # branch); minilm when weights exist, else hashed 384-d
+    emb, backend = embed_texts(texts, cfg, allow_tfidf=False)
+    ws.data.mkdir(parents=True, exist_ok=True)
+    np.save(ws.data / "lyrics_embeddings.npy", emb.astype(np.float32))
+    np.save(ws.data / "lyrics_track_ids.npy", np.asarray(ids, dtype=np.int64))
+    artifacts.save_csv_rows(ws.results / "lyrics_embedding_report.csv",
+                            ["track_id", "status", "reason", "n_chars"], rows)
+    return {"emb": emb, "ids": np.asarray(ids), "backend": backend}
+
+
+# ---------------------------------------------------------------------------
+# Script 12: conv multimodal VAE
+# ---------------------------------------------------------------------------
+
+
+def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
+                  save_epoch_checkpoints: bool = True,
+                  verbose: bool = False) -> Dict:
+    x, a_ids = artifacts.load_features(ws.data / "audio_cnn_mel_X.npy",
+                                       ws.data / "audio_cnn_mel_track_ids.npy")
+    lyr_raw, l_ids = artifacts.load_features(ws.data / "lyrics_embeddings.npy",
+                                             ws.data / "lyrics_track_ids.npy")
+    lyr, mask = align_secondary_to_primary(a_ids, l_ids, lyr_raw)
+
+    out_dir = ws.results / "vae_conv_mm_medium"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    x_nhwc = to_nhwc(x)
+    model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
+                                                 verbose=verbose)
+    # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
+    artifacts.save_csv_rows(
+        out_dir / "train_log.csv", ["epoch", "loss", "recon", "kl"],
+        [[h["epoch"], f"{h['total']:.6f}", f"{h['recon']:.6f}",
+          f"{h['kl']:.6f}"] for h in res.history])
+    if save_epoch_checkpoints:
+        # the reference checkpoints every epoch (12:281-285); we keep the
+        # filename contract for the final epoch and add resumable metadata
+        artifacts.save_checkpoint(
+            out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", res.params,
+            metadata={"config": asdict(cfg), "epoch": cfg.epochs,
+                      "input_shape": list(x.shape)})
+    np.save(ws.data / "vae_mm_latents_mu.npy", mu.astype(np.float32))
+    np.save(ws.data / "vae_mm_latents_track_ids.npy", a_ids)
+    return {"latents": mu, "ids": a_ids, "history": res.history,
+            "params": res.params, "lyrics_mask": mask}
+
+
+# ---------------------------------------------------------------------------
+# Representations shared by scripts 13-16
+# ---------------------------------------------------------------------------
+
+
+def _load_reps(ws: Workspace, genre_map: Optional[Dict],
+               standardize: bool = False,
+               names: Sequence[str] = ("vae_mm_latents", "baseline_mel_flat",
+                                       "baseline_lyrics_only")) -> List[RepData]:
+    paths = {
+        "vae_mm_latents": (ws.data / "vae_mm_latents_mu.npy",
+                           ws.data / "vae_mm_latents_track_ids.npy"),
+        "baseline_mel_flat": (ws.data / "audio_cnn_mel_X.npy",
+                              ws.data / "audio_cnn_mel_track_ids.npy"),
+        "baseline_lyrics_only": (ws.data / "lyrics_embeddings.npy",
+                                 ws.data / "lyrics_track_ids.npy"),
+    }
+    reps = []
+    for name in names:
+        xp, ip = paths[name]
+        x, ids = artifacts.load_features(xp, ip)
+        x = x.reshape(x.shape[0], -1).astype(np.float32)
+        if standardize:
+            x = np.asarray(StandardScaler().fit_transform(x))
+        y_true = (labels_for_ids(ids, genre_map)
+                  if genre_map is not None else None)
+        reps.append(RepData.build(name, x, y_true))
+    return reps
+
+
+def _rows_to_csv(rows: List[Dict], path: Path, header: List[str]) -> Path:
+    return artifacts.save_csv_rows(
+        path, header,
+        [["" if r.get(h) is None else r.get(h) for h in header] for r in rows])
+
+
+_HDR13 = ["representation", "algo", "params", "n_clusters_found", "n_noise",
+          "silhouette", "davies_bouldin", "ari"]
+_HDR16 = ["representation", "algo", "params", "n_clusters_found", "n_noise",
+          "noise_frac", "silhouette", "davies_bouldin", "ari", "score"]
+
+
+def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
+                         n_clusters: int = 6,
+                         standardize: bool = False) -> List[Dict]:
+    """Script 13: fixed-k suite over the 3 representations."""
+    reps = _load_reps(ws, genre_map, standardize)
+    rows: List[Dict] = []
+    for rep in reps:
+        rows += sweep_mod.cluster_suite(rep, n_clusters)
+    _rows_to_csv(rows, ws.results / "medium_clustering_metrics_all.csv", _HDR13)
+    return rows
+
+
+def full_clustering_sweep(ws: Workspace, genre_map: Optional[Dict] = None,
+                          cfg: SweepConfig = SweepConfig(),
+                          standardize: bool = False) -> List[Dict]:
+    """Script 16: full grid + best-by-representation + best-overall tables."""
+    reps = _load_reps(ws, genre_map, standardize, cfg.representations)
+    rows: List[Dict] = []
+    for rep in reps:
+        rows += sweep_mod.full_sweep(rep, cfg.ks, cfg.dbscan_eps,
+                                     cfg.dbscan_min_samples, seed=cfg.seed)
+    _rows_to_csv(rows, ws.results / "medium_full_sweep_metrics.csv", _HDR16)
+    by_score = sorted(rows, key=lambda r: r["score"], reverse=True)
+    best_by_rep, seen = [], set()
+    for r in by_score:
+        if r["representation"] not in seen:
+            seen.add(r["representation"])
+            best_by_rep.append(r)
+    _rows_to_csv(best_by_rep,
+                 ws.results / "medium_full_sweep_best_by_representation.csv",
+                 _HDR16)
+    _rows_to_csv(by_score[:20],
+                 ws.results / "medium_full_sweep_best_overall.csv", _HDR16)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Script 17: report tables + plots
+# ---------------------------------------------------------------------------
+
+
+def report_tables_and_plots(ws: Workspace, max_noise: float = 0.30,
+                            min_clusters: int = 2) -> Dict:
+    import csv as _csv
+
+    sweep_csv = ws.results / "medium_full_sweep_metrics.csv"
+    out_dir = ws.results / "report_medium"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(sweep_csv, newline="") as f:
+        rows = [dict(r) for r in _csv.DictReader(f)]
+
+    def fnum(v, default=None):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
+
+    for r in rows:
+        for c in ("silhouette", "davies_bouldin", "ari", "noise_frac",
+                  "score"):
+            r[c] = fnum(r.get(c))
+        r["n_clusters_found"] = int(float(r["n_clusters_found"]))
+
+    filt = [r for r in rows if r["n_clusters_found"] >= min_clusters
+            and (r["algo"] != "dbscan"
+                 or (r["noise_frac"] is not None
+                     and r["noise_frac"] <= max_noise))]
+    filt.sort(key=lambda r: (r["score"] if r["score"] is not None else -1e9),
+              reverse=True)
+    _rows_to_csv(filt, out_dir / "best_filtered.csv", _HDR16)
+    best_by_rep, seen = [], set()
+    for r in filt:
+        if r["representation"] not in seen:
+            seen.add(r["representation"])
+            best_by_rep.append(r)
+    _rows_to_csv(best_by_rep, out_dir / "best_filtered_by_representation.csv",
+                 _HDR16)
+
+    # per-metric bars: top run per (representation, algo) (17:62-84)
+    for metric, fname, title in (
+            ("silhouette", "plot_silhouette.png",
+             "Best (filtered) Silhouette by Representation/Algorithm"),
+            ("davies_bouldin", "plot_davies_bouldin.png",
+             "Best (filtered) Davies-Bouldin (lower is better)"),
+            ("ari", "plot_ari.png",
+             "Best (filtered) Adjusted Rand Index (ARI)")):
+        d = [r for r in filt if r[metric] is not None]
+        top, seen2 = [], set()
+        for r in d:
+            key = (r["representation"], r["algo"])
+            if key not in seen2:
+                seen2.add(key)
+                top.append({**r, "label": f"{r['representation']} | "
+                            f"{r['algo']} | {r['params']}"})
+        if top:
+            plots.grouped_bars(top, "label", [metric], out_dir / fname, title)
+
+    # DBSCAN diagnostics per representation (17:88-144)
+    db = [r for r in rows if r["algo"] == "dbscan"]
+    for rep_name in sorted({r["representation"] for r in db}):
+        g = [r for r in db if r["representation"] == rep_name]
+        for r in g:
+            parts = dict(p.split("=") for p in r["params"].split(","))
+            r["_eps"], r["_min"] = float(parts["eps"]), int(parts["min"])
+        ms_all = sorted({r["_min"] for r in g})
+        ms_used = 5 if 5 in ms_all else ms_all[0]
+        g2 = sorted([r for r in g if r["_min"] == ms_used],
+                    key=lambda r: r["_eps"])
+        plots.line_sweep([r["_eps"] for r in g2],
+                         [r["noise_frac"] for r in g2],
+                         out_dir / f"dbscan_noise_vs_eps_{rep_name}.png",
+                         "eps", "noise_frac",
+                         f"DBSCAN noise fraction vs eps ({rep_name}, "
+                         f"min_samples={ms_used})")
+        plots.line_sweep([r["_eps"] for r in g2],
+                         [r["n_clusters_found"] for r in g2],
+                         out_dir / f"dbscan_clusters_vs_eps_{rep_name}.png",
+                         "eps", "clusters_found (excluding noise)",
+                         f"DBSCAN clusters found vs eps ({rep_name}, "
+                         f"min_samples={ms_used})")
+    return {"filtered": filt, "best_by_rep": best_by_rep, "out_dir": out_dir}
+
+
+# ---------------------------------------------------------------------------
+# Script 14: generic clustering visualization
+# ---------------------------------------------------------------------------
+
+
+def visualize_clustering(ws: Workspace, repr_path: Path, ids_path: Path,
+                         genre_map: Optional[Dict] = None,
+                         method: str = "kmeans", n_clusters: int = 6,
+                         eps: float = 0.6, min_samples: int = 5,
+                         proj: str = "pca", standardize: bool = False,
+                         pre_pca_dim: int = 50, tag: str = "run",
+                         seed: int = 42) -> Dict:
+    from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
+    from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
+    from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
+    from vae_hmc_tpu.viz.projections import reduce_2d
+
+    out_dir = ws.results / "cluster_viz"
+    x = np.load(repr_path).astype(np.float32)
+    ids = np.load(ids_path).astype(np.int64)
+    if x.ndim > 2:
+        x = x.reshape(x.shape[0], -1)
+    if standardize:
+        x = np.asarray(StandardScaler().fit_transform(x))
+    if method == "kmeans":
+        yhat = kmeans_fit_predict(x, n_clusters, n_init=10, seed=seed)
+    elif method == "agglomerative":
+        yhat = agglomerative_ward(x, n_clusters)
+    elif method == "dbscan":
+        yhat = dbscan_fn(x, eps, min_samples)
+    else:
+        raise ValueError(method)
+    pp = pre_pca_dim if (pre_pca_dim and proj in ("umap", "tsne")) else None
+    xy, used = reduce_2d(x, proj, pre_pca_dim=pp)
+
+    base = f"{tag}_{Path(repr_path).stem}_{method}_{used}"
+    out = {"clusters_png": plots.scatter_2d(
+        xy, yhat, out_dir / f"{base}_clusters.png",
+        f"{tag}: {Path(repr_path).stem} | {method} | {used}",
+        noise_as_x=(method == "dbscan"))}
+    if genre_map is not None:
+        y_true = labels_for_ids(ids, genre_map)
+        out["truegenre_png"] = plots.scatter_2d(
+            xy, y_true, out_dir / f"{base}_truegenre.png",
+            f"{tag}: TRUE LABELS (genre) | {used}", legend_title="genre")
+    uniq = np.unique(yhat)
+    n_noise = int(np.sum(yhat == -1)) if -1 in uniq else 0
+    summary = [f"repr={repr_path}", f"ids={ids_path}", f"method={method}"]
+    if method in ("kmeans", "agglomerative"):
+        summary.append(f"n_clusters={n_clusters}")
+    else:
+        summary += [f"eps={eps}", f"min_samples={min_samples}"]
+    summary += [f"proj={used}", f"standardize={standardize}",
+                f"pre_pca_dim={pre_pca_dim}",
+                f"n_clusters_found={len([u for u in uniq if u != -1])}",
+                f"n_noise={n_noise}", "label_col=genre"]
+    (out_dir / f"{base}_summary.txt").write_text("\n".join(summary) + "\n")
+    out["labels"] = yhat
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Script 15: side-by-side + lyrics DBSCAN eps sweep
+# ---------------------------------------------------------------------------
+
+
+def side_by_side_and_dbscan_sweep(
+        ws: Workspace, k: int = 6, dbscan_min_samples: int = 5,
+        eps_list: Sequence[float] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1.0),
+        standardize: bool = False, tag: str = "medium",
+        seed: int = 42) -> Dict:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from vae_hmc_tpu.cluster.dbscan import dbscan_sweep as db_sweep
+    from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
+    from vae_hmc_tpu.ops.pca import PCA
+    from vae_hmc_tpu.viz.projections import HAVE_UMAP, reduce_2d
+
+    out_dir = ws.results / "cluster_viz"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    x_vae = np.load(ws.data / "vae_mm_latents_mu.npy").astype(np.float32)
+    x_mel = np.load(ws.data / "audio_cnn_mel_X.npy").astype(np.float32)
+    x_mel = x_mel.reshape(x_mel.shape[0], -1)
+    x_lyr = np.load(ws.data / "lyrics_embeddings.npy").astype(np.float32)
+    if standardize:
+        x_vae, x_mel, x_lyr = (np.asarray(StandardScaler().fit_transform(v))
+                               for v in (x_vae, x_mel, x_lyr))
+    y_vae = kmeans_fit_predict(x_vae, k, n_init=10, seed=seed)
+    y_mel = kmeans_fit_predict(x_mel, k, n_init=10, seed=seed)
+    from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
+    y_lyr_db = dbscan_fn(x_lyr, 0.4, dbscan_min_samples)
+
+    def pca2(v):
+        return np.asarray(PCA(2).fit_transform(v))
+
+    panels = [(pca2(x_vae), y_vae, f"VAE latents + KMeans(k={k}) | PCA"),
+              (pca2(x_mel), y_mel, f"Mel(flat) + KMeans(k={k}) | PCA"),
+              (pca2(x_lyr), y_lyr_db,
+               "Lyrics + DBSCAN(eps=0.4) | PCA (noise likely)")]
+    if HAVE_UMAP:
+        panels_u = [(reduce_2d(x_vae, "umap")[0], y_vae,
+                     f"VAE latents + KMeans(k={k}) | UMAP"),
+                    (reduce_2d(x_mel, "umap")[0], y_mel,
+                     f"Mel(flat) + KMeans(k={k}) | UMAP"),
+                    (reduce_2d(x_lyr, "umap")[0], y_lyr_db,
+                     "Lyrics + DBSCAN(eps=0.4) | UMAP (noise likely)")]
+        fig, axes = plt.subplots(3, 2, figsize=(12, 16))
+        for i in range(3):
+            for j, (xy, y, t) in enumerate((panels[i], panels_u[i])):
+                axes[i, j].scatter(xy[:, 0], xy[:, 1], c=y, s=6, cmap="tab10")
+                axes[i, j].set_title(t, fontsize=9)
+    else:
+        fig, axes = plt.subplots(3, 1, figsize=(10, 16))
+        for i, (xy, y, t) in enumerate(panels):
+            axes[i].scatter(xy[:, 0], xy[:, 1], c=y, s=6, cmap="tab10")
+            axes[i].set_title(t, fontsize=9)
+    fig.tight_layout()
+    side_png = out_dir / f"side_by_side_{tag}.png"
+    fig.savefig(side_png, dpi=220)
+    plt.close(fig)
+
+    labels_by_cell = db_sweep(x_lyr, eps_list, [dbscan_min_samples])
+    n_clusters_list, n_noise_list = [], []
+    for eps in eps_list:
+        y = labels_by_cell[(float(eps), dbscan_min_samples)]
+        uniq = np.unique(y)
+        n_noise_list.append(int(np.sum(y == -1)) if -1 in uniq else 0)
+        n_clusters_list.append(len([u for u in uniq.tolist() if u != -1]))
+    p1 = plots.line_sweep(list(eps_list), n_clusters_list,
+                          out_dir / f"lyrics_dbscan_eps_sweep_clusters_{tag}.png",
+                          "DBSCAN eps", "Clusters found (excluding noise)",
+                          "Lyrics DBSCAN: eps vs clusters found")
+    p2 = plots.line_sweep(list(eps_list), n_noise_list,
+                          out_dir / f"lyrics_dbscan_eps_sweep_noise_{tag}.png",
+                          "DBSCAN eps", "Noise points (-1)",
+                          "Lyrics DBSCAN: eps vs number of noise points")
+    return {"side_by_side": side_png, "sweep_clusters": p1, "sweep_noise": p2}
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def run_medium_pipeline(source: Source, ws: Workspace,
+                        mel_cfg: MelConfig = MelConfig(),
+                        text_cfg: TextEmbedConfig = TextEmbedConfig(),
+                        vae_cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
+                        sweep_cfg: SweepConfig = SweepConfig(),
+                        with_viz: bool = True, device_batch: int = 32,
+                        verbose: bool = False) -> Dict:
+    genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
+                                                source.genres)}
+    a = build_audio_features(source, ws, mel_cfg, device_batch)
+    l = build_lyrics_embeddings(source, ws, text_cfg)
+    t = train_conv_mm(ws, vae_cfg, verbose=verbose)
+    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6)
+    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg)
+    rep = report_tables_and_plots(ws)
+    out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
+           "report": rep}
+    if with_viz:
+        out["viz14"] = visualize_clustering(
+            ws, ws.data / "vae_mm_latents_mu.npy",
+            ws.data / "vae_mm_latents_track_ids.npy", genre_map,
+            method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6")
+        out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6)
+    return out

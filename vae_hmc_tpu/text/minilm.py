@@ -1,0 +1,249 @@
+"""MiniLM (all-MiniLM-L6-v2) sentence encoder in Flax.
+
+TPU-native replacement for the torch sentence-transformers encoder used by
+the reference (scripts/11:85-93, 18:211-213): a 6-layer / 384-wide / 12-head
+BERT encoder, mean-pooled over the attention mask and L2-normalized
+(the exact sentence-transformers pooling config of all-MiniLM-L6-v2).
+
+Weights are NOT bundled (zero-egress environments cannot download them);
+`load_minilm(model_dir)` loads a local HuggingFace checkout (pytorch_model.bin
+or model.safetensors + vocab.txt) and maps parameters by name.  When no
+checkpoint is available the pipelines fall back to TF-IDF / hashed features
+(vae_hmc_tpu.text.embed), mirroring the reference's own sentence-transformers
+-> TF-IDF fallback (18:209-222).
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MiniLMConfig:
+    vocab_size = 30522
+    hidden = 384
+    layers = 6
+    heads = 12
+    intermediate = 1536
+    max_pos = 512
+    type_vocab = 2
+    ln_eps = 1e-12
+    max_seq_len = 256      # sentence-transformers truncates at 256 for this model
+
+
+class _Layer(nn.Module):
+    cfg: MiniLMConfig
+
+    @nn.compact
+    def __call__(self, h, mask_bias):
+        c = self.cfg
+        d_head = c.hidden // c.heads
+        q = nn.Dense(c.hidden, name="q")(h)
+        k = nn.Dense(c.hidden, name="k")(h)
+        v = nn.Dense(c.hidden, name="v")(h)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], c.heads, d_head)
+
+        att = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k)) / np.sqrt(d_head)
+        att = jax.nn.softmax(att + mask_bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, split(v))
+        ctx = ctx.reshape(h.shape)
+        att_out = nn.Dense(c.hidden, name="att_out")(ctx)
+        h = nn.LayerNorm(epsilon=c.ln_eps, name="att_ln")(h + att_out)
+        ff = nn.Dense(c.intermediate, name="ff1")(h)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dense(c.hidden, name="ff2")(ff)
+        return nn.LayerNorm(epsilon=c.ln_eps, name="ff_ln")(h + ff)
+
+
+class MiniLM(nn.Module):
+    cfg: MiniLMConfig = MiniLMConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        c = self.cfg
+        seq = input_ids.shape[1]
+        tok = nn.Embed(c.vocab_size, c.hidden, name="tok_emb")(input_ids)
+        pos = nn.Embed(c.max_pos, c.hidden, name="pos_emb")(
+            jnp.arange(seq)[None, :])
+        typ = nn.Embed(c.type_vocab, c.hidden, name="type_emb")(
+            jnp.zeros_like(input_ids))
+        h = nn.LayerNorm(epsilon=c.ln_eps, name="emb_ln")(tok + pos + typ)
+        mask_bias = (1.0 - attention_mask[:, None, None, :]) * -1e9
+        for i in range(c.layers):
+            h = _Layer(c, name=f"layer{i}")(h, mask_bias)
+        # mean pooling over attention mask + L2 norm (st pooling config)
+        m = attention_mask[:, :, None]
+        pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (BERT uncased)
+# ---------------------------------------------------------------------------
+
+
+class WordPieceTokenizer:
+    def __init__(self, vocab: Dict[str, int], max_len: int = 256):
+        self.vocab = vocab
+        self.max_len = max_len
+        self.cls = vocab["[CLS]"]
+        self.sep = vocab["[SEP]"]
+        self.pad = vocab["[PAD]"]
+        self.unk = vocab["[UNK]"]
+
+    @classmethod
+    def from_vocab_file(cls, path: Path, max_len: int = 256):
+        vocab = {}
+        for i, line in enumerate(Path(path).read_text(encoding="utf-8").splitlines()):
+            vocab[line.strip()] = i
+        return cls(vocab, max_len)
+
+    def _basic_tokens(self, text: str) -> List[str]:
+        text = text.lower()
+        text = re.sub(r"\s+", " ", text)
+        out, buf = [], []
+        for ch in text:
+            if ch.isalnum():
+                buf.append(ch)
+            else:
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                if not ch.isspace():
+                    out.append(ch)
+        if buf:
+            out.append("".join(buf))
+        return out
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > 100:
+            return [self.unk]
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.vocab:
+                    cur = self.vocab[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode_batch(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        rows = []
+        for t in texts:
+            ids = [self.cls]
+            for w in self._basic_tokens(t):
+                ids.extend(self._wordpiece(w))
+                if len(ids) >= self.max_len - 1:
+                    break
+            ids = ids[: self.max_len - 1] + [self.sep]
+            rows.append(ids)
+        seq = max(len(r) for r in rows)
+        out = np.full((len(rows), seq), self.pad, dtype=np.int32)
+        mask = np.zeros((len(rows), seq), dtype=np.float32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = 1.0
+        return out, mask
+
+
+# ---------------------------------------------------------------------------
+# Weight loading from a local HF checkout
+# ---------------------------------------------------------------------------
+
+_HF_MAP = {
+    "tok_emb": "embeddings.word_embeddings.weight",
+    "pos_emb": "embeddings.position_embeddings.weight",
+    "type_emb": "embeddings.token_type_embeddings.weight",
+    "emb_ln": ("embeddings.LayerNorm.weight", "embeddings.LayerNorm.bias"),
+}
+
+
+def _layer_map(i: int) -> Dict[str, str]:
+    p = f"encoder.layer.{i}."
+    return {
+        "q": p + "attention.self.query",
+        "k": p + "attention.self.key",
+        "v": p + "attention.self.value",
+        "att_out": p + "attention.output.dense",
+        "att_ln": p + "attention.output.LayerNorm",
+        "ff1": p + "intermediate.dense",
+        "ff2": p + "output.dense",
+        "ff_ln": p + "output.LayerNorm",
+    }
+
+
+def _load_state_dict(model_dir: Path) -> Dict[str, np.ndarray]:
+    model_dir = Path(model_dir)
+    st = model_dir / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+        return dict(load_file(st))
+    bin_p = model_dir / "pytorch_model.bin"
+    if bin_p.exists():
+        import torch
+        sd = torch.load(bin_p, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model weights in {model_dir}")
+
+
+def load_minilm(model_dir: Path):
+    """-> (MiniLM module, params, tokenizer). Raises if weights are absent."""
+    model_dir = Path(model_dir)
+    sd = _load_state_dict(model_dir)
+    sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+    cfg = MiniLMConfig()
+    model = MiniLM(cfg)
+    tok = WordPieceTokenizer.from_vocab_file(model_dir / "vocab.txt",
+                                             cfg.max_seq_len)
+    ids = np.zeros((1, 4), np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, np.ones((1, 4), np.float32))
+    p = params["params"]
+
+    def dense(dst, src):
+        dst["kernel"] = jnp.asarray(sd[src + ".weight"]).T
+        dst["bias"] = jnp.asarray(sd[src + ".bias"])
+
+    def ln(dst, src):
+        dst["scale"] = jnp.asarray(sd[src + ".weight"])
+        dst["bias"] = jnp.asarray(sd[src + ".bias"])
+
+    p["tok_emb"]["embedding"] = jnp.asarray(sd[_HF_MAP["tok_emb"]])
+    p["pos_emb"]["embedding"] = jnp.asarray(sd[_HF_MAP["pos_emb"]])
+    p["type_emb"]["embedding"] = jnp.asarray(sd[_HF_MAP["type_emb"]])
+    ln(p["emb_ln"], "embeddings.LayerNorm")
+    for i in range(cfg.layers):
+        lm = _layer_map(i)
+        lp = p[f"layer{i}"]
+        for name in ("q", "k", "v", "att_out", "ff1", "ff2"):
+            dense(lp[name], lm[name])
+        ln(lp["att_ln"], lm["att_ln"])
+        ln(lp["ff_ln"], lm["ff_ln"])
+    return model, {"params": p}, tok
+
+
+def encode_texts_minilm(texts: List[str], model_dir: Path,
+                        batch_size: int = 64) -> np.ndarray:
+    model, params, tok = load_minilm(model_dir)
+    jfn = jax.jit(lambda p, i, m: model.apply(p, i, m))
+    outs = []
+    for s in range(0, len(texts), batch_size):
+        ids, mask = tok.encode_batch(texts[s: s + batch_size])
+        outs.append(np.asarray(jfn(params, ids, mask)))
+    return np.concatenate(outs, axis=0).astype(np.float32)
