@@ -1,17 +1,22 @@
-"""Test configuration: force an 8-device virtual CPU platform BEFORE jax import.
+"""Test configuration: force an 8-device virtual CPU platform.
 
-Multi-chip hardware is unavailable in CI; sharding tests run on
-xla_force_host_platform_device_count=8 CPU devices (SURVEY.md §4).
+Multi-chip hardware is unavailable in CI; sharding tests run on 8 virtual
+CPU devices (SURVEY.md §4).  Config-based (jax_num_cpu_devices) rather than
+XLA_FLAGS: jaxlib's C extension parses XLA_FLAGS at load time and pytest's
+plugin discovery imports jaxlib before this conftest runs, so env vars set
+here would be ignored.  jax.config.update works any time before backend
+initialization.
 """
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# the axon TPU-tunnel plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
