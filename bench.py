@@ -1,0 +1,128 @@
+"""End-to-end benchmark: mel features -> conv multimodal VAE -> KMeans.
+
+Runs the medium-tier headline path (BASELINE.json metric: "tracks/sec
+end-to-end (mel->VAE->KMeans) on FMA-small-3k; ARI + silhouette parity") on
+the real device at full scale: 2,924 tracks, 15 s @ 22.05 kHz, (128, 646)
+log-mel images, 25-epoch conv-MM-VAE training, KMeans(k=6, n_init=10) +
+silhouette/DBI/ARI.
+
+The FMA mp3s are not available in this environment, so audio comes from the
+deterministic genre-structured synthesizer (vae_hmc_tpu.pipelines.synthetic)
+with sample-level synthesis on device standing in for the decode stage.
+The timed region covers everything downstream of "waveforms exist":
+feature extraction, lyrics embedding, training, latent export, clustering
+and metrics — the stages the reference runs through librosa/torch/sklearn.
+
+Reference baseline estimate (no published numbers exist — SURVEY.md §6):
+per-track librosa mel ~0.1 s x 2924 + 25 torch epochs + sklearn suite
+=> realistically >= 10 min end-to-end, i.e. ~5 tracks/sec. vs_baseline is
+reported against that 5 tracks/sec estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    n_tracks = int(os.environ.get("BENCH_N_TRACKS", "2924"))
+    from vae_hmc_tpu.cluster.kmeans import kmeans
+    from vae_hmc_tpu.core.config import (ConvMMVaeConfig, KMeansConfig,
+                                         MelConfig)
+    from vae_hmc_tpu.metrics import external, internal
+    from vae_hmc_tpu.models import api as model_api
+    from vae_hmc_tpu.ops import mel as mel_ops
+    from vae_hmc_tpu.pipelines import synthetic
+    from vae_hmc_tpu.text.embed import hashed_embedding
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind} ({dev.platform})",
+          file=sys.stderr)
+
+    mel_cfg = MelConfig()                      # 15 s, 128 mels, T=646
+    vae_cfg = ConvMMVaeConfig()                # 25 epochs, batch 64
+    ds = synthetic.make_dataset(n_tracks, seed=42, lyrics_coverage=0.9)
+
+    # ---- untimed: synthesize waveforms on device (stands in for decode) ----
+    t_synth0 = time.perf_counter()
+    batch_size = 128
+    wave_batches = []
+    for s in range(0, n_tracks, batch_size):
+        idx = list(range(s, min(s + batch_size, n_tracks)))
+        wave_batches.append(synthetic.waveform_batch_device(
+            ds, idx, mel_cfg.duration_s, seed=42))
+    jax.block_until_ready(wave_batches[-1])
+    t_synth = time.perf_counter() - t_synth0
+    print(f"[bench] waveform synthesis ({n_tracks} x {mel_cfg.duration_s}s): "
+          f"{t_synth:.1f}s", file=sys.stderr)
+
+    # =================== timed region ===================
+    t0 = time.perf_counter()
+
+    # stage 1: fused log-mel features (script 10 equivalent)
+    feats = []
+    for wb in wave_batches:
+        x = mel_ops.logmel_batch(wb, mel_cfg)
+        feats.append(mel_ops.per_sample_standardize(x))
+    x_mel = jnp.concatenate(feats, axis=0)[..., None]  # (N, 128, T, 1) NHWC
+    jax.block_until_ready(x_mel)
+    t1 = time.perf_counter()
+
+    # stage 2: lyrics embeddings (hashed fallback backend; script 11)
+    texts = [ds.lyrics[i] or "" for i in range(n_tracks)]
+    has = np.asarray([1.0 if ds.lyrics[i] else 0.0
+                      for i in range(n_tracks)], np.float32)
+    lyr = hashed_embedding(texts, 384) * has[:, None]
+    t2 = time.perf_counter()
+
+    # stage 3: conv multimodal VAE training (script 12)
+    model, res, mu = model_api.train_conv_mm_vae(
+        np.asarray(x_mel), lyr, has, vae_cfg)
+    t3 = time.perf_counter()
+
+    # stage 4: KMeans + metrics (scripts 13/20 core)
+    km = kmeans(mu, KMeansConfig(n_clusters=6, n_init=10, seed=42))
+    genre_idx = np.asarray(
+        [list(synthetic.GENRES).index(g) for g in ds.genres])
+    sil = internal.silhouette(mu, km.labels)
+    dbi = internal.davies_bouldin(mu, km.labels)
+    ari = external.adjusted_rand_index(km.labels, genre_idx)
+    t4 = time.perf_counter()
+    # =================== end timed region ===================
+
+    total = t4 - t0
+    tracks_per_sec = n_tracks / total
+    ref_tracks_per_sec = 5.0                   # documented estimate above
+    result = {
+        "metric": "tracks/sec end-to-end (mel->VAE->KMeans) on FMA-small-3k",
+        "value": round(tracks_per_sec, 2),
+        "unit": "tracks/sec",
+        "vs_baseline": round(tracks_per_sec / ref_tracks_per_sec, 2),
+        "n_tracks": n_tracks,
+        "seconds_total": round(total, 2),
+        "seconds_features": round(t1 - t0, 2),
+        "seconds_lyrics": round(t2 - t1, 2),
+        "seconds_train": round(t3 - t2, 2),
+        "seconds_cluster_metrics": round(t4 - t3, 2),
+        "train_final_loss": round(res.history[-1]["total"], 4),
+        "silhouette": round(float(sil), 5),
+        "davies_bouldin": round(float(dbi), 5),
+        "ari_vs_genre": round(float(ari), 5),
+        "device": f"{dev.device_kind}",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

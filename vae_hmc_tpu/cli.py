@@ -1,0 +1,382 @@
+"""One CLI entry point with subcommands mirroring reference scripts 00-22.
+
+    python -m vae_hmc_tpu.cli <command> [flags]
+
+Each subcommand exposes the same knobs (and defaults) as its reference
+script's argparse (SURVEY.md §1 L5) and writes the same artifact files.
+Data sources: --synthetic N runs on the deterministic synthetic dataset
+(no FMA download needed); otherwise --manifest points at the real manifest
+and audio tree.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
+                                     DenseVaeConfig, HardVaeConfig,
+                                     KMeansConfig, MelConfig, MfccConfig,
+                                     SweepConfig, TextEmbedConfig, Workspace)
+
+
+def _source(args):
+    from vae_hmc_tpu.pipelines.sources import FileSource, SyntheticSource
+
+    if getattr(args, "synthetic", 0):
+        return SyntheticSource.make(args.synthetic, seed=args.seed)
+    from vae_hmc_tpu.core.manifest import read_manifest
+
+    m = read_manifest(Path(args.manifest))
+    return FileSource.from_manifest(m, root=Path(args.root))
+
+
+def _add_common(p, manifest_default="data/fma_manifest_combined_text_only_clean.csv"):
+    p.add_argument("--root", type=str, default=".",
+                   help="workspace root (data/ + results/ live here)")
+    p.add_argument("--manifest", type=str, default=manifest_default)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic tracks instead of real audio")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device-batch", type=int, default=64)
+    p.add_argument("--verbose", action="store_true")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vae-hmc", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    # ---- acquisition (00-05) ----
+    p = sub.add_parser("download-fma", help="script 00: download FMA-small")
+    _add_common(p)
+    p = sub.add_parser("build-manifest", help="script 01: balanced manifest")
+    _add_common(p)
+    p.add_argument("--total-tracks", type=int, default=3000)
+    p.add_argument("--n-genres", type=int, default=6)
+    p = sub.add_parser("fetch-lyrics", help="script 02: Genius/LRCLIB lyrics")
+    _add_common(p, "data/fma_manifest_3k_6genres.csv")
+    p.add_argument("--max", type=int, default=1000)
+    p.add_argument("--sleep", type=float, default=0.45)
+    p = sub.add_parser("fetch-transcriptions", help="script 03: Whisper ASR")
+    _add_common(p, "data/fma_manifest_3k_6genres.csv")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--limit", type=int, default=0)
+    p = sub.add_parser("combine-manifest", help="script 04: merge text sources")
+    _add_common(p, "data/fma_manifest_3k_6genres.csv")
+    p.add_argument("--mode", type=str, default="concat_both")
+    p = sub.add_parser("clean-manifest", help="script 05: clean manifest")
+    _add_common(p, "data/fma_manifest_combined.csv")
+
+    # ---- easy (06-09) ----
+    p = sub.add_parser("train-basic-vae", help="script 06: MFCC + dense VAE")
+    _add_common(p)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--n-mfcc", type=int, default=40)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--beta", type=float, default=1.0)
+    p = sub.add_parser("cluster-easy", help="script 07: KMeans on latents")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--n-init", type=int, default=20)
+    p = sub.add_parser("viz-easy", help="script 08: latent 2-D viz")
+    _add_common(p)
+    p.add_argument("--method", type=str, default="umap",
+                   choices=["umap", "tsne"])
+    p = sub.add_parser("compare-pca", help="script 09: PCA baseline compare")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--n-init", type=int, default=20)
+    p = sub.add_parser("run-easy", help="full easy tier (06-09)")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--k", type=int, default=5)
+
+    # ---- medium (10-17) ----
+    p = sub.add_parser("build-mel", help="script 10: log-mel features")
+    _add_common(p)
+    p.add_argument("--seconds", type=float, default=15.0)
+    p.add_argument("--n-mels", type=int, default=128)
+    p.add_argument("--top-db", type=float, default=-1.0)
+    p.add_argument("--strict", action="store_true")
+    p = sub.add_parser("build-lyrics-emb", help="script 11: lyric embeddings")
+    _add_common(p)
+    p.add_argument("--min-chars", type=int, default=30)
+    p = sub.add_parser("train-conv-mm", help="script 12: conv multimodal VAE")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--latent-dim", type=int, default=32)
+    p = sub.add_parser("cluster-medium", help="script 13: cluster suite")
+    _add_common(p)
+    p.add_argument("--n-clusters", type=int, default=6)
+    p.add_argument("--standardize", action="store_true")
+    p = sub.add_parser("viz-cluster", help="script 14: generic cluster viz")
+    _add_common(p)
+    p.add_argument("--repr", dest="repr_path", type=str, required=True)
+    p.add_argument("--ids", type=str, required=True)
+    p.add_argument("--method", type=str, default="kmeans",
+                   choices=["kmeans", "agglomerative", "dbscan"])
+    p.add_argument("--n-clusters", type=int, default=6)
+    p.add_argument("--eps", type=float, default=0.6)
+    p.add_argument("--min-samples", type=int, default=5)
+    p.add_argument("--proj", type=str, default="pca",
+                   choices=["pca", "umap", "tsne"])
+    p.add_argument("--standardize", action="store_true")
+    p.add_argument("--pre-pca-dim", type=int, default=50)
+    p.add_argument("--tag", type=str, default="run")
+    p = sub.add_parser("viz-side-by-side", help="script 15: 3x2 panel + sweep")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=6)
+    p = sub.add_parser("sweep-medium", help="script 16: full clustering sweep")
+    _add_common(p)
+    p.add_argument("--standardize", action="store_true")
+    p = sub.add_parser("report-medium", help="script 17: report tables/plots")
+    _add_common(p)
+    p.add_argument("--max-noise", type=float, default=0.30)
+    p.add_argument("--min-clusters", type=int, default=2)
+    p = sub.add_parser("run-medium", help="full medium tier (10-17)")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=25)
+
+    # ---- hard (18-22) ----
+    p = sub.add_parser("prepare-hard", help="script 18: hard feature prep")
+    _add_common(p)
+    p.add_argument("--duration", type=float, default=20.0)
+    p.add_argument("--force", action="store_true")
+    p = sub.add_parser("train-hard", help="script 19: Beta-VAE / CVAE")
+    _add_common(p)
+    p.add_argument("--beta", type=float, default=4.0)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--cvae", action="store_true")
+    p.add_argument("--cond-on", type=str, default="genre",
+                   choices=["genre", "lang", "both"])
+    p.add_argument("--include-genre-in-input", action="store_true")
+    p.add_argument("--include-lang-in-input", action="store_true")
+    p.add_argument("--kl-anneal-epochs", type=int, default=0)
+    p.add_argument("--tag", type=str, default=None)
+    p = sub.add_parser("cluster-hard", help="script 20: KMeans + metrics")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--latents-path", type=str, default=None)
+    p = sub.add_parser("viz-hard", help="script 21: latent viz + distributions")
+    _add_common(p)
+    p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--latents-path", type=str, default=None)
+    p = sub.add_parser("compare-hard", help="script 22: baseline comparison")
+    _add_common(p)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--pca-dim", type=int, default=32)
+    p.add_argument("--ae-latent", type=int, default=16)
+    p.add_argument("--ae-epochs", type=int, default=30)
+    p.add_argument("--tag", type=str, default=None)
+    p = sub.add_parser("run-hard", help="full hard tier (18-22)")
+    _add_common(p)
+    p.add_argument("--beta", type=float, default=4.0)
+    p.add_argument("--cvae", action="store_true")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--tag", type=str, default=None)
+
+    p = sub.add_parser("bench", help="end-to-end benchmark (bench.py)")
+    p.add_argument("--n-tracks", type=int, default=2924)
+
+    args = ap.parse_args(argv)
+    ws = Workspace(Path(getattr(args, "root", ".")))
+    cmd = args.cmd
+
+    if cmd == "download-fma":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        print(json.dumps(acq.download_fma(ws)["verify"], default=str))
+    elif cmd == "build-manifest":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        m = acq.build_manifest(ws, args.total_tracks, args.n_genres, args.seed)
+        print(f"wrote manifest with {len(m)} rows")
+    elif cmd == "fetch-lyrics":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        print(json.dumps(acq.fetch_lyrics(
+            ws, Path(args.manifest), max_to_process=args.max or None,
+            sleep_seconds=args.sleep)))
+    elif cmd == "fetch-transcriptions":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        print(json.dumps(acq.fetch_transcriptions(
+            ws, Path(args.manifest), dry_run=args.dry_run,
+            limit=args.limit or None)))
+    elif cmd == "combine-manifest":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        print(json.dumps(acq.combine_manifests(ws, Path(args.manifest),
+                                               args.mode)))
+    elif cmd == "clean-manifest":
+        from vae_hmc_tpu.pipelines import acquisition as acq
+        m = acq.clean_manifest(ws, Path(args.manifest))
+        print(f"clean manifest rows: {len(m)}")
+
+    elif cmd == "train-basic-vae":
+        from vae_hmc_tpu.pipelines import easy
+        out = easy.train_basic_vae(
+            _source(args), ws,
+            MfccConfig(duration_s=args.duration, n_mfcc=args.n_mfcc),
+            DenseVaeConfig(latent_dim=args.latent_dim, epochs=args.epochs,
+                           batch_size=args.batch_size,
+                           learning_rate=args.lr, beta=args.beta,
+                           seed=args.seed),
+            device_batch=args.device_batch, verbose=args.verbose)
+        print(f"latents: {out['latents'].shape}; history final "
+              f"{out['history'][-1]}")
+    elif cmd == "cluster-easy":
+        from vae_hmc_tpu.pipelines import easy
+        out = easy.cluster_easy(ws, KMeansConfig(n_clusters=args.k,
+                                                 n_init=args.n_init,
+                                                 seed=args.seed))
+        print(json.dumps(out["summary"]["label_distribution"]))
+    elif cmd == "viz-easy":
+        from vae_hmc_tpu.pipelines import easy
+        out = easy.visualize_easy(ws, args.method)
+        print(f"wrote {out['plot']} ({out['method']})")
+    elif cmd == "compare-pca":
+        from vae_hmc_tpu.pipelines import easy
+        out = easy.compare_pca_baseline(ws, KMeansConfig(
+            n_clusters=args.k, n_init=args.n_init, seed=args.seed))
+        for r in out["rows"]:
+            print(r)
+    elif cmd == "run-easy":
+        from vae_hmc_tpu.pipelines import easy
+        out = easy.run_easy_pipeline(
+            _source(args), ws, MfccConfig(duration_s=args.duration),
+            DenseVaeConfig(epochs=args.epochs, seed=args.seed),
+            KMeansConfig(n_clusters=args.k, seed=args.seed),
+            device_batch=args.device_batch, verbose=args.verbose)
+        print(json.dumps(out["compare"]["rows"], default=str))
+
+    elif cmd == "build-mel":
+        from vae_hmc_tpu.pipelines import medium
+        out = medium.build_audio_features(
+            _source(args), ws,
+            MelConfig(duration_s=args.seconds, n_mels=args.n_mels,
+                      top_db=args.top_db),
+            device_batch=args.device_batch)
+        print(f"mel X: {out['x'].shape}; ok rows {out['report'].ok_count()}")
+    elif cmd == "build-lyrics-emb":
+        from vae_hmc_tpu.pipelines import medium
+        out = medium.build_lyrics_embeddings(
+            _source(args), ws, TextEmbedConfig(min_chars=args.min_chars))
+        print(f"emb: {out['emb'].shape} backend={out['backend']}")
+    elif cmd == "train-conv-mm":
+        from vae_hmc_tpu.pipelines import medium
+        out = medium.train_conv_mm(
+            ws, ConvMMVaeConfig(epochs=args.epochs,
+                                batch_size=args.batch_size,
+                                learning_rate=args.lr,
+                                latent_dim=args.latent_dim, seed=args.seed),
+            verbose=args.verbose)
+        print(f"latents: {out['latents'].shape}")
+    elif cmd in ("cluster-medium", "sweep-medium", "report-medium",
+                 "viz-side-by-side", "viz-cluster", "run-medium"):
+        from vae_hmc_tpu.pipelines import medium
+        gm = None
+        mp = Path(args.root) / args.manifest
+        if getattr(args, "synthetic", 0):
+            src = _source(args)
+            gm = {int(t): str(g) for t, g in zip(src.track_ids, src.genres)}
+        elif mp.exists():
+            from vae_hmc_tpu.core.manifest import read_manifest
+            gm = read_manifest(mp).genre_map()
+        if cmd == "cluster-medium":
+            rows = medium.cluster_and_evaluate(ws, gm, args.n_clusters,
+                                               args.standardize)
+            print(f"{len(rows)} rows -> medium_clustering_metrics_all.csv")
+        elif cmd == "sweep-medium":
+            rows = medium.full_clustering_sweep(ws, gm,
+                                                standardize=args.standardize)
+            print(f"{len(rows)} rows -> medium_full_sweep_metrics.csv")
+        elif cmd == "report-medium":
+            out = medium.report_tables_and_plots(ws, args.max_noise,
+                                                 args.min_clusters)
+            print(f"filtered rows: {len(out['filtered'])}")
+        elif cmd == "viz-side-by-side":
+            out = medium.side_by_side_and_dbscan_sweep(ws, k=args.k)
+            print(f"wrote {out['side_by_side']}")
+        elif cmd == "viz-cluster":
+            out = medium.visualize_clustering(
+                ws, Path(args.repr_path), Path(args.ids), gm, args.method,
+                args.n_clusters, args.eps, args.min_samples, args.proj,
+                args.standardize, args.pre_pca_dim, args.tag, args.seed)
+            print(f"wrote {out['clusters_png']}")
+        else:
+            out = medium.run_medium_pipeline(
+                _source(args), ws,
+                vae_cfg=ConvMMVaeConfig(epochs=args.epochs, seed=args.seed),
+                device_batch=args.device_batch, verbose=args.verbose)
+            print("medium pipeline complete")
+
+    elif cmd == "prepare-hard":
+        from vae_hmc_tpu.core.config import MFCC_HARD, TEXT_HARD
+        from vae_hmc_tpu.pipelines import hard
+        out = hard.prepare_features(
+            _source(args), ws,
+            MfccConfig(duration_s=args.duration, min_duration_s=1.0),
+            TEXT_HARD, device_batch=args.device_batch, force=args.force)
+        print(json.dumps(out["info"], default=str))
+    elif cmd == "train-hard":
+        from vae_hmc_tpu.pipelines import hard
+        cfg = HardVaeConfig(
+            beta=args.beta, latent_dim=args.latent_dim,
+            hidden_dim=args.hidden_dim, epochs=args.epochs,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            seed=args.seed, use_cvae=args.cvae,
+            cond_genre=args.cond_on in ("genre", "both"),
+            cond_lang=args.cond_on in ("lang", "both"),
+            append_onehot_input=(args.include_genre_in_input
+                                 or args.include_lang_in_input),
+            kl_anneal_epochs=args.kl_anneal_epochs)
+        out = hard.train_hard(ws, cfg, tag=args.tag, verbose=args.verbose)
+        print(f"latents: {out['latents'].shape}")
+    elif cmd == "cluster-hard":
+        from vae_hmc_tpu.pipelines import hard
+        out = hard.cluster_and_evaluate(
+            ws, k=args.k, seed=args.seed, tag=args.tag,
+            latents_path=args.latents_path)
+        print(json.dumps(out["metrics"], default=str))
+    elif cmd == "viz-hard":
+        from vae_hmc_tpu.pipelines import hard
+        out = hard.visualize_latents(ws, seed=args.seed, tag=args.tag,
+                                     latents_path=args.latents_path)
+        print(f"latent 2-D via {out['method']}")
+    elif cmd == "compare-hard":
+        from vae_hmc_tpu.pipelines import hard
+        rows = hard.compare_with_baselines(
+            ws, k=args.k, pca_dim=args.pca_dim,
+            ae_cfg=AeConfig(latent_dim=args.ae_latent, epochs=args.ae_epochs),
+            seed=args.seed, tag=args.tag, latents_path=args.latents_path)
+        for r in rows:
+            print(r)
+    elif cmd == "run-hard":
+        from vae_hmc_tpu.pipelines import hard
+        out = hard.run_hard_pipeline(
+            _source(args), ws,
+            vae_cfg=HardVaeConfig(beta=args.beta, use_cvae=args.cvae,
+                                  cond_genre=args.cvae, epochs=args.epochs,
+                                  seed=args.seed),
+            tag=args.tag, device_batch=args.device_batch,
+            verbose=args.verbose)
+        print(json.dumps(out["cluster"]["metrics"], default=str))
+
+    elif cmd == "bench":
+        import os
+        os.environ["BENCH_N_TRACKS"] = str(args.n_tracks)
+        import bench
+        bench.main()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
