@@ -60,10 +60,16 @@ def fit(
     variational: bool = True,
     log_every: int = 1,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> FitResult:
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
+    # fresh buffers: the epoch programs donate (params, opt_state), which
+    # would otherwise delete the caller's pytree out from under them
+    params = jax.tree_util.tree_map(jnp.array, params)
 
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
@@ -116,8 +122,27 @@ def fit(
         return p, opt_state, jnp.stack(
             [aux["total"], aux["recon"], aux["kl"]])
 
+    # Checkpoint/resume: the reference saves per-epoch checkpoints nothing
+    # ever loads (12:281-285; SURVEY.md §5 "save-only, never load-to-resume").
+    # Here a crash mid-train resumes from the last saved (params, opt_state,
+    # epoch, history) instead of restarting from scratch.
     history: List[Dict[str, float]] = []
-    for epoch in range(epochs):
+    start_epoch = 0
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        from pathlib import Path as _P
+
+        from vae_hmc_tpu.core import artifacts as _art
+
+        ckpt_path = _P(checkpoint_dir) / "train_state.ckpt"
+        if resume and ckpt_path.exists():
+            flat, meta = _art.load_checkpoint(ckpt_path,
+                                              like=(params, opt_state))
+            params, opt_state = flat
+            start_epoch = int(meta.get("epoch", 0))
+            history = list(meta.get("history", []))
+
+    for epoch in range(start_epoch, epochs):
         ekey = jax.random.fold_in(root, epoch)
         perm = jax.random.permutation(jax.random.fold_in(ekey, 7919), n)
         beta_now = jnp.asarray(_beta_at(beta, epoch, kl_anneal_epochs),
@@ -142,6 +167,12 @@ def fit(
             print(f"[epoch {epoch + 1:3d}/{epochs}] "
                   f"total {row['total']:.4f} recon {row['recon']:.4f} "
                   f"kl {row['kl']:.4f}")
+        if (ckpt_path is not None and checkpoint_every
+                and (epoch + 1) % checkpoint_every == 0):
+            from vae_hmc_tpu.core import artifacts as _art
+            _art.save_checkpoint(ckpt_path, (params, opt_state),
+                                 metadata={"epoch": epoch + 1,
+                                           "history": history})
     return FitResult(params=params, history=history)
 
 
