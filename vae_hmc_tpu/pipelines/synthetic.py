@@ -15,8 +15,10 @@ by (seed, track_id) so any subset regenerates identically.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 GENRES = ("Experimental", "Folk", "Hip-Hop", "International", "Pop", "Rock")
@@ -160,21 +162,28 @@ def waveform_batch_device(ds: SyntheticDataset, idx: Sequence[int],
         am_phase[row, 0] = r.uniform(0, 2 * np.pi)
         noise_lv[row, 0] = noise
 
-    @jax.jit
-    def synth(amps, freqs, phases, am_rate, am_phase, noise_lv, key):
-        t = jnp.arange(n, dtype=jnp.float32) / ds.sample_rate
-        # accumulate per harmonic: keeps the intermediate at (B, n) instead
-        # of materializing a (B, H, n) tensor
-        sig = jnp.zeros((amps.shape[0], n), jnp.float32)
-        for h in range(max_h):
-            sig = sig + amps[:, h:h + 1] * jnp.sin(
-                2 * jnp.pi * freqs[:, h:h + 1] * t[None, :]
-                + phases[:, h:h + 1])
-        sig = sig * (1.0 + 0.5 * jnp.sin(2 * jnp.pi * am_rate * t[None, :]
-                                         + am_phase))
-        sig = sig + noise_lv * jax.random.normal(key, sig.shape)
-        peak = jnp.max(jnp.abs(sig), axis=1, keepdims=True) + 1e-9
-        return sig * (0.3 / peak)
-
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(idx[0]))
-    return synth(amps, freqs, phases, am_rate, am_phase, noise_lv, key)
+    return _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
+                      n, ds.sample_rate)
+
+
+@partial(jax.jit, static_argnames=("n", "sample_rate"))
+def _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
+               n: int, sample_rate: int):
+    """Module-level jit: compiled once per (batch, n) shape — an inner
+    closure would retrace/recompile on every call."""
+    import jax.numpy as jnp
+
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+    # accumulate per harmonic: keeps the intermediate at (B, n) instead of
+    # materializing a (B, H, n) tensor
+    sig = jnp.zeros((amps.shape[0], n), jnp.float32)
+    for h in range(amps.shape[1]):
+        sig = sig + amps[:, h:h + 1] * jnp.sin(
+            2 * jnp.pi * freqs[:, h:h + 1] * t[None, :]
+            + phases[:, h:h + 1])
+    sig = sig * (1.0 + 0.5 * jnp.sin(2 * jnp.pi * am_rate * t[None, :]
+                                     + am_phase))
+    sig = sig + noise_lv * jax.random.normal(key, sig.shape)
+    peak = jnp.max(jnp.abs(sig), axis=1, keepdims=True) + 1e-9
+    return sig * (0.3 / peak)
