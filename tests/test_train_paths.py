@@ -1,0 +1,43 @@
+"""Fused (scan-over-epochs) vs incremental training paths must agree exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_hmc_tpu.models.dense_vae import DenseVAE
+from vae_hmc_tpu.models.train import fit
+
+
+def test_fast_path_matches_incremental(rng, tmp_path):
+    x = rng.normal(0, 1, (130, 12)).astype(np.float32)  # 130 = 3*40 + 10 rem
+    model = DenseVAE(input_dim=12, hidden_dims=(16,), latent_dim=3)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 12)), key)
+
+    def apply_fn(p, r, xb):
+        return model.apply(p, xb, r)
+
+    kw = dict(epochs=4, batch_size=40, learning_rate=1e-3, seed=3)
+    fast = fit(apply_fn, params, (x,), **kw)                       # fused path
+    slow = fit(apply_fn, params, (x,), verbose=True, **kw)         # incremental
+    for a, b in zip(fast.history, slow.history):
+        assert a["total"] == pytest.approx(b["total"], rel=1e-5)
+        assert a["kl"] == pytest.approx(b["kl"], rel=1e-4, abs=1e-7)
+    for la, lb in zip(jax.tree_util.tree_leaves(fast.params),
+                      jax.tree_util.tree_leaves(slow.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-6)
+
+
+def test_fast_path_kl_anneal(rng):
+    x = rng.normal(0, 1, (80, 8)).astype(np.float32)
+    model = DenseVAE(input_dim=8, hidden_dims=(16,), latent_dim=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 8)), key)
+
+    def apply_fn(p, r, xb):
+        return model.apply(p, xb, r)
+
+    res = fit(apply_fn, params, (x,), epochs=4, batch_size=40,
+              learning_rate=1e-3, seed=0, kl_anneal_epochs=4, beta=2.0)
+    assert len(res.history) == 4
+    assert np.isfinite(res.history[-1]["total"])

@@ -122,6 +122,64 @@ def fit(
         return p, opt_state, jnp.stack(
             [aux["total"], aux["recon"], aux["kl"]])
 
+    # Fast path: no checkpointing requested -> ONE jitted program scans over
+    # every epoch (shuffle, full batches, remainder, beta schedule all
+    # inside).  One compile, one dispatch, one history fetch — versus 2*E
+    # host round trips of the incremental path, which matter when the host
+    # link has high latency (and always cost dispatch overhead).
+    if checkpoint_dir is None and not verbose:
+        keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
+            jnp.arange(epochs))
+        perm_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7919))(keys)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(perm_keys)
+        betas = jnp.asarray([_beta_at(beta, e, kl_anneal_epochs)
+                             for e in range(epochs)], jnp.float32)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_all(p, opt_state, arrs, perms, betas, keys):
+            def epoch_body(carry, inp):
+                p, opt_state = carry
+                perm, beta_now, ekey = inp
+                perm_full = perm[: n_full * batch_size].reshape(
+                    n_full, batch_size)
+
+                def body(c, xs):
+                    p, opt_state = c
+                    i, idx = xs
+                    batch = tuple(a[idx] for a in arrs)
+                    rng = jax.random.fold_in(ekey, i)
+                    p, opt_state, aux = step(p, opt_state, rng, batch,
+                                             beta_now)
+                    return (p, opt_state), jnp.stack(
+                        [aux["total"], aux["recon"], aux["kl"]])
+
+                (p, opt_state), metrics = jax.lax.scan(
+                    body, (p, opt_state), (jnp.arange(n_full), perm_full))
+                tot = jnp.sum(metrics, axis=0) * batch_size
+                if rem:
+                    ridx = perm[n_full * batch_size:]
+                    batch = tuple(a[ridx] for a in arrs)
+                    rng = jax.random.fold_in(ekey, n_full)
+                    p, opt_state, aux = step(p, opt_state, rng, batch,
+                                             beta_now)
+                    tot = tot + jnp.stack(
+                        [aux["total"], aux["recon"], aux["kl"]]) * rem
+                return (p, opt_state), tot / n
+
+            (p, opt_state), hist = jax.lax.scan(
+                epoch_body, (p, opt_state), (perms, betas, keys))
+            return p, opt_state, hist
+
+        params, opt_state, hist = train_all(params, opt_state, arrays,
+                                            perms, betas, keys)
+        hist = np.asarray(hist)
+        history = [
+            {"epoch": e + 1, "total": float(hist[e, 0]),
+             "recon": float(hist[e, 1]), "kl": float(hist[e, 2])}
+            for e in range(epochs)
+        ]
+        return FitResult(params=params, history=history)
+
     # Checkpoint/resume: the reference saves per-epoch checkpoints nothing
     # ever loads (12:281-285; SURVEY.md §5 "save-only, never load-to-resume").
     # Here a crash mid-train resumes from the last saved (params, opt_state,
