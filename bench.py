@@ -34,6 +34,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: the whole pipeline is a handful of
+# static-shape programs, so every run after the first skips compilation
+# (the dominant cost on a cold chip: the fused train program alone is
+# minutes of XLA time, while its steady-state step is ~1 ms)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main() -> None:
     n_tracks = int(os.environ.get("BENCH_N_TRACKS", "2924"))

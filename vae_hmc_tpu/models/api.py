@@ -27,7 +27,7 @@ def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
     model = DenseVAE(input_dim=x.shape[1], hidden_dims=tuple(cfg.hidden_dims),
                      latent_dim=cfg.latent_dim)
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init(key, jnp.zeros((1, x.shape[1])), key)
+    params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key)
 
     def apply_fn(p, rng, xb):
         return model.apply(p, xb, rng)
@@ -58,8 +58,8 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
     arrays = [jnp.asarray(x, jnp.float32)]
     if cond_dim:
         arrays.append(jnp.asarray(cond, jnp.float32))
-        params = model.init(key, jnp.zeros((1, x.shape[1])), key,
-                            jnp.zeros((1, cond_dim)))
+        params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key,
+                                     jnp.zeros((1, cond_dim)))
 
         def apply_fn(p, rng, xb, cb):
             return model.apply(p, xb, rng, cb)
@@ -67,7 +67,7 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
         def encode_mu(p, xb, cb):
             return model.apply(p, xb, cb, method=model.encode)[0]
     else:
-        params = model.init(key, jnp.zeros((1, x.shape[1])), key)
+        params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key)
 
         def apply_fn(p, rng, xb):
             return model.apply(p, xb, rng)
@@ -95,8 +95,9 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
                       channels=tuple(cfg.audio_channels), fc_dim=cfg.audio_fc_dim,
                       latent_dim=cfg.latent_dim, lyrics_dim=lyr.shape[1])
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init(key, jnp.zeros((1,) + x_nhwc.shape[1:]),
-                        jnp.zeros((1, lyr.shape[1])), jnp.zeros((1, 1)), key)
+    params = jax.jit(model.init)(key, jnp.zeros((1,) + x_nhwc.shape[1:]),
+                                 jnp.zeros((1, lyr.shape[1])),
+                                 jnp.zeros((1, 1)), key)
 
     def apply_fn(p, rng, xb, lb, mb):
         return model.apply(p, xb, lb, mb, rng)
@@ -120,7 +121,7 @@ def train_ae(x: np.ndarray, cfg: AeConfig, verbose: bool = False):
     model = AE(input_dim=x.shape[1], hidden_dim=cfg.hidden_dim,
                latent_dim=cfg.latent_dim)
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init(key, jnp.zeros((1, x.shape[1])))
+    params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])))
 
     def apply_fn(p, rng, xb):
         xhat, z = model.apply(p, xb)
