@@ -67,12 +67,14 @@ def fit(
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
-    # fresh buffers: the epoch programs donate (params, opt_state), which
-    # would otherwise delete the caller's pytree out from under them
-    params = jax.tree_util.tree_map(jnp.array, params)
 
     tx = optax.adam(learning_rate)
-    opt_state = tx.init(params)
+    # ONE jitted program: fresh param buffers (the epoch programs donate
+    # them, which would otherwise delete the caller's pytree) + optimizer
+    # init.  Eagerly this is ~70 tiny dispatches — measurable per-op latency
+    # on remote-attached devices.
+    params, opt_state = jax.jit(
+        lambda p: (jax.tree_util.tree_map(jnp.array, p), tx.init(p)))(params)
     root = jax.random.PRNGKey(seed)
 
     def loss_fn(p, rng, batch, beta_now):
@@ -170,8 +172,28 @@ def fit(
                 epoch_body, (p, opt_state), (perms, betas, keys))
             return p, opt_state, hist
 
-        params, opt_state, hist = train_all(params, opt_state, arrays,
-                                            perms, betas, keys)
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("VAE_HMC_DEBUG_TIMING")
+        if _dbg:
+            _t0 = _time.perf_counter()
+            lowered = train_all.lower(params, opt_state, arrays, perms,
+                                      betas, keys)
+            print(f"[fit] trace+lower {_time.perf_counter() - _t0:.1f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
+            compiled = lowered.compile()
+            print(f"[fit] compile {_time.perf_counter() - _t0:.1f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
+            params, opt_state, hist = compiled(params, opt_state, arrays,
+                                               perms, betas, keys)
+            jax.block_until_ready(hist)
+            print(f"[fit] execute {_time.perf_counter() - _t0:.1f}s",
+                  flush=True)
+        else:
+            params, opt_state, hist = train_all(params, opt_state, arrays,
+                                                perms, betas, keys)
         hist = np.asarray(hist)
         history = [
             {"epoch": e + 1, "total": float(hist[e, 0]),
