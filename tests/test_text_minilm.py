@@ -1,0 +1,62 @@
+"""MiniLM tokenizer/encoder unit tests (weights not required)."""
+import jax
+import numpy as np
+import pytest
+
+from vae_hmc_tpu.text.minilm import MiniLM, MiniLMConfig, WordPieceTokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "cat", "sat", "##s",
+         "mat", "##ting", "un", "##believ", "##able", "hello", "world"])}
+    return WordPieceTokenizer(vocab, max_len=16)
+
+
+def test_wordpiece_greedy_longest_match(tok):
+    ids, mask = tok.encode_batch(["the cats sat"])
+    toks = ids[0][mask[0] > 0]
+    # [CLS] the cat ##s sat [SEP]
+    assert list(toks) == [tok.cls, tok.vocab["the"], tok.vocab["cat"],
+                          tok.vocab["##s"], tok.vocab["sat"], tok.sep]
+
+
+def test_wordpiece_unk_and_multi_piece(tok):
+    ids, mask = tok.encode_batch(["unbelievable zzz"])
+    toks = list(ids[0][mask[0] > 0])
+    assert toks == [tok.cls, tok.vocab["un"], tok.vocab["##believ"],
+                    tok.vocab["##able"], tok.unk, tok.sep]
+
+
+def test_wordpiece_lowercase_and_punct(tok):
+    ids, _ = tok.encode_batch(["The CAT!"])
+    assert tok.vocab["the"] in ids[0]
+    assert tok.vocab["cat"] in ids[0]
+
+
+def test_padding_and_mask(tok):
+    ids, mask = tok.encode_batch(["hello", "hello world the cat"])
+    assert ids.shape == mask.shape
+    assert mask[0].sum() < mask[1].sum()
+    assert ids[0][int(mask[0].sum()):].tolist() == [tok.pad] * (
+        ids.shape[1] - int(mask[0].sum()))
+
+
+def test_minilm_forward_shapes_and_norm():
+    """Random-weight forward: output is (B, 384) and L2-normalized, and
+    padding tokens do not affect the embedding (mask correctness)."""
+    cfg = MiniLMConfig()
+    model = MiniLM(cfg)
+    ids = np.array([[101, 2003, 2004, 102, 0, 0]], dtype=np.int32)
+    mask = np.array([[1, 1, 1, 1, 0, 0]], dtype=np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, mask)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (1, 384)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                               1.0, atol=1e-5)
+    # changing a masked-out token must not change the embedding
+    ids2 = ids.copy()
+    ids2[0, 5] = 999
+    out2 = model.apply(params, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
