@@ -25,7 +25,11 @@ def _source(args):
     from vae_hmc_tpu.pipelines.sources import FileSource, SyntheticSource
 
     if getattr(args, "synthetic", 0):
-        return SyntheticSource.make(args.synthetic, seed=args.seed)
+        import jax
+        # synthesize on device when an accelerator is attached: sample-level
+        # math never crosses the host link
+        return SyntheticSource.make(args.synthetic, seed=args.seed,
+                                    device=jax.default_backend() == "tpu")
     from vae_hmc_tpu.core.manifest import read_manifest
 
     m = read_manifest(Path(args.manifest))

@@ -55,10 +55,11 @@ def build_mfcc_stats(
     for s in range(0, n, device_batch):
         idx = list(range(s, min(s + device_batch, n)))
         batch, lengths, errors = source.waveforms(idx, cfg.duration_s)
-        if masked:
+        if masked and int(np.min(lengths)) < cfg.n_samples:
             # keep true lengths: short clips are NOT padded into the stats
             # (reference 18:88 loads duration<=20 s at true length); the
             # reflect tail makes boundary frames exact (see ops.stft).
+            batch = np.asarray(batch)
             staged = np.stack([
                 pad_with_reflect_tail(batch[r, :max(int(lengths[r]), 2)],
                                       cfg.n_samples, cfg.n_fft)
@@ -67,6 +68,7 @@ def build_mfcc_stats(
             f = np.asarray(mfcc_ops.mfcc_stats_batch(
                 jnp.asarray(staged), cfg, lengths=jnp.asarray(lengths)))
         else:
+            # all clips full-length: masked stats == plain stats
             f = np.asarray(mfcc_ops.mfcc_stats_batch(jnp.asarray(batch), cfg))
         for r, i in enumerate(idx):
             tid = int(source.track_ids[i])

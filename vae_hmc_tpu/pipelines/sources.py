@@ -46,6 +46,10 @@ class Source:
 class SyntheticSource(Source):
     ds: synthetic.SyntheticDataset
     seed: int = 42
+    device: bool = False   # True: synthesize on device (jax array batches) —
+                           # the sample-level math never touches the host,
+                           # which matters when host<->device bandwidth is
+                           # the bottleneck (and it always beats 1-core numpy)
 
     def __post_init__(self):
         self.track_ids = self.ds.track_ids
@@ -56,16 +60,22 @@ class SyntheticSource(Source):
         return self.ds.lyrics[i]
 
     def waveforms(self, idx, duration_s):
-        batch = synthetic.waveform_batch(self.ds, idx, duration_s, self.seed)
+        if self.device:
+            batch = synthetic.waveform_batch_device(self.ds, idx, duration_s,
+                                                    self.seed)
+        else:
+            batch = synthetic.waveform_batch(self.ds, idx, duration_s,
+                                             self.seed)
         n = batch.shape[-1]
         lengths = np.full(len(idx), n, dtype=np.int32)
         return batch, lengths, [None] * len(idx)
 
     @classmethod
     def make(cls, n_tracks: int = 2924, seed: int = 42,
-             lyrics_coverage: float = 0.9) -> "SyntheticSource":
+             lyrics_coverage: float = 0.9,
+             device: bool = False) -> "SyntheticSource":
         return cls(synthetic.make_dataset(n_tracks, seed, lyrics_coverage),
-                   seed=seed)
+                   seed=seed, device=device)
 
 
 @dataclass
