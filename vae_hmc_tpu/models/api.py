@@ -3,6 +3,11 @@
 Each function reproduces one reference training experiment end-to-end
 (model init -> fused training -> posterior-mean latent export) and returns
 (params, history, latents_mu).
+
+Pass `mesh=` (a jax Mesh from parallel.make_mesh) to train data-parallel
+across devices instead of single-device: batches shard over the mesh 'data'
+axis with XLA-inserted gradient reductions (parallel.train_dp.dp_fit); the
+conv model additionally tensor-shards its giant FC kernels over 'model'.
 """
 from __future__ import annotations
 
@@ -20,8 +25,19 @@ from vae_hmc_tpu.models.dense_vae import DenseVAE
 from vae_hmc_tpu.models.train import FitResult, encode_in_batches, fit
 
 
+def _fit_dispatch(apply_fn, params, arrays, mesh, param_shardings=None,
+                  **kw):
+    """Route to the single-device fused trainer or the mesh DP trainer."""
+    if mesh is None:
+        return fit(apply_fn, params, arrays, **kw)
+    from vae_hmc_tpu.parallel.train_dp import dp_fit
+    kw.pop("kl_anneal_epochs", None)   # dp_fit: constant beta (scale-out path)
+    return dp_fit(apply_fn, params, arrays, mesh,
+                  param_shardings=param_shardings, **kw)
+
+
 def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
-                    verbose: bool = False):
+                    verbose: bool = False, mesh=None):
     """Easy-tier basic VAE (reference scripts/06): x is the standardized
     (N, 80) MFCC-stats matrix."""
     model = DenseVAE(input_dim=x.shape[1], hidden_dims=tuple(cfg.hidden_dims),
@@ -32,10 +48,12 @@ def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
     def apply_fn(p, rng, xb):
         return model.apply(p, xb, rng)
 
-    res = fit(apply_fn, params, (jnp.asarray(x, jnp.float32),),
-              epochs=cfg.epochs, batch_size=cfg.batch_size,
-              learning_rate=cfg.learning_rate, beta=cfg.beta,
-              reduction=cfg.loss_reduction, seed=cfg.seed, verbose=verbose)
+    res = _fit_dispatch(apply_fn, params, (jnp.asarray(x, jnp.float32),),
+                        mesh,
+                        epochs=cfg.epochs, batch_size=cfg.batch_size,
+                        learning_rate=cfg.learning_rate, beta=cfg.beta,
+                        reduction=cfg.loss_reduction, seed=cfg.seed,
+                        verbose=verbose)
 
     def encode_mu(p, xb):
         return model.apply(p, xb, method=model.encode)[0]
@@ -85,7 +103,8 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
 
 
 def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
-                      cfg: ConvMMVaeConfig, verbose: bool = False):
+                      cfg: ConvMMVaeConfig, verbose: bool = False,
+                      mesh=None):
     """Medium-tier conv multimodal VAE (reference scripts/12).
 
     x_nhwc: (N, n_mels, T, 1) standardized log-mel; lyr: (N, 384) aligned
@@ -104,10 +123,16 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
 
     arrays = (jnp.asarray(x_nhwc, jnp.float32), jnp.asarray(lyr, jnp.float32),
               jnp.asarray(mask, jnp.float32).reshape(-1, 1))
-    res = fit(apply_fn, params, arrays,
-              epochs=cfg.epochs, batch_size=cfg.batch_size,
-              learning_rate=cfg.learning_rate, beta=cfg.beta,
-              reduction=cfg.loss_reduction, seed=cfg.seed, verbose=verbose)
+    shardings = None
+    if mesh is not None:
+        from vae_hmc_tpu.parallel.mesh import conv_mm_param_sharding
+        shardings = conv_mm_param_sharding(mesh, params)
+    res = _fit_dispatch(apply_fn, params, arrays, mesh,
+                        param_shardings=shardings,
+                        epochs=cfg.epochs, batch_size=cfg.batch_size,
+                        learning_rate=cfg.learning_rate, beta=cfg.beta,
+                        reduction=cfg.loss_reduction, seed=cfg.seed,
+                        verbose=verbose)
 
     def encode_mu(p, xb, lb, mb):
         return model.apply(p, xb, lb, mb, method=model.encode)[0]
