@@ -46,10 +46,16 @@ from vae_hmc_tpu.viz import plots
 
 def build_audio_features(source: Source, ws: Workspace,
                          cfg: MelConfig = MelConfig(),
-                         device_batch: int = 32) -> Dict:
+                         device_batch: int = 32,
+                         write_features: bool = True) -> Dict:
+    """write_features=False keeps the (N,1,128,T) tensor in memory only —
+    for bandwidth-constrained dev hosts where fetching ~1 GB to write
+    audio_cnn_mel_X.npy dominates; the id/report contract is still written.
+    Default True preserves the full reference file contract."""
     x, ids, report = features.build_logmel(source, cfg, device_batch)
     ws.data.mkdir(parents=True, exist_ok=True)
-    np.save(ws.data / "audio_cnn_mel_X.npy", x)
+    if write_features:
+        np.save(ws.data / "audio_cnn_mel_X.npy", x)
     np.save(ws.data / "audio_cnn_mel_track_ids.npy", ids)
     report.save(ws.results / "audio_cnn_mel_build_report.csv")
     return {"x": x, "ids": ids, "report": report}
@@ -97,19 +103,31 @@ def build_lyrics_embeddings(source: Source, ws: Workspace,
 
 def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                   save_epoch_checkpoints: bool = True,
-                  verbose: bool = False) -> Dict:
-    x, a_ids = artifacts.load_features(ws.data / "audio_cnn_mel_X.npy",
-                                       ws.data / "audio_cnn_mel_track_ids.npy")
-    lyr_raw, l_ids = artifacts.load_features(ws.data / "lyrics_embeddings.npy",
-                                             ws.data / "lyrics_track_ids.npy")
+                  verbose: bool = False,
+                  audio: Optional[Dict] = None,
+                  lyrics: Optional[Dict] = None, mesh=None) -> Dict:
+    """audio/lyrics: optionally pass build_audio_features /
+    build_lyrics_embeddings results to skip re-reading from disk."""
+    if audio is not None:
+        x, a_ids = audio["x"], audio["ids"]
+    else:
+        x, a_ids = artifacts.load_features(
+            ws.data / "audio_cnn_mel_X.npy",
+            ws.data / "audio_cnn_mel_track_ids.npy")
+    if lyrics is not None:
+        lyr_raw, l_ids = lyrics["emb"], lyrics["ids"]
+    else:
+        lyr_raw, l_ids = artifacts.load_features(
+            ws.data / "lyrics_embeddings.npy",
+            ws.data / "lyrics_track_ids.npy")
     lyr, mask = align_secondary_to_primary(a_ids, l_ids, lyr_raw)
 
     out_dir = ws.results / "vae_conv_mm_medium"
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    x_nhwc = to_nhwc(x)
+    x_nhwc = to_nhwc(np.asarray(x))
     model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
-                                                 verbose=verbose)
+                                                 verbose=verbose, mesh=mesh)
     # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
     artifacts.save_csv_rows(
         out_dir / "train_log.csv", ["epoch", "loss", "recon", "kl"],
@@ -450,7 +468,7 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                                                 source.genres)}
     a = build_audio_features(source, ws, mel_cfg, device_batch)
     l = build_lyrics_embeddings(source, ws, text_cfg)
-    t = train_conv_mm(ws, vae_cfg, verbose=verbose)
+    t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l)
     c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6)
     c16 = full_clustering_sweep(ws, genre_map, sweep_cfg)
     rep = report_tables_and_plots(ws)
