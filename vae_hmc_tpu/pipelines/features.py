@@ -19,6 +19,7 @@ from vae_hmc_tpu.core.artifacts import save_csv_rows
 from vae_hmc_tpu.core.config import MelConfig, MfccConfig
 from vae_hmc_tpu.ops import mel as mel_ops
 from vae_hmc_tpu.ops import mfcc as mfcc_ops
+from vae_hmc_tpu.io.staging import batched_indices, prefetch_batches
 from vae_hmc_tpu.ops.stft import pad_with_reflect_tail
 from vae_hmc_tpu.pipelines.sources import Source
 
@@ -52,9 +53,11 @@ def build_mfcc_stats(
     feats, ids, rows = [], [], []
     masked = cfg.min_duration_s > 0
     min_len = int(cfg.sample_rate * cfg.min_duration_s)
-    for s in range(0, n, device_batch):
-        idx = list(range(s, min(s + device_batch, n)))
-        batch, lengths, errors = source.waveforms(idx, cfg.duration_s)
+    # background host decode overlaps device compute (io.staging)
+    for idx, payload in prefetch_batches(
+            lambda ix: source.waveforms(ix, cfg.duration_s),
+            batched_indices(n, device_batch)):
+        batch, lengths, errors = payload
         if masked and int(np.min(lengths)) < cfg.n_samples:
             # keep true lengths: short clips are NOT padded into the stats
             # (reference 18:88 loads duration<=20 s at true length); the
@@ -109,9 +112,10 @@ def build_logmel(
     """
     n = len(source)
     feats, ids, rows = [], [], []
-    for s in range(0, n, device_batch):
-        idx = list(range(s, min(s + device_batch, n)))
-        batch, lengths, errors = source.waveforms(idx, cfg.duration_s)
+    for idx, payload in prefetch_batches(
+            lambda ix: source.waveforms(ix, cfg.duration_s),
+            batched_indices(n, device_batch)):
+        batch, lengths, errors = payload
         x = mel_ops.logmel_batch(jnp.asarray(batch), cfg)
         if cfg.per_sample_standardize:
             x = mel_ops.per_sample_standardize(x)
