@@ -18,7 +18,7 @@ from pathlib import Path
 from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
                                      DenseVaeConfig, HardVaeConfig,
                                      KMeansConfig, MelConfig, MfccConfig,
-                                     SweepConfig, TextEmbedConfig, Workspace)
+                                     TextEmbedConfig, Workspace)
 
 
 def _source(args):
@@ -323,7 +323,7 @@ def main(argv=None) -> int:
             print("medium pipeline complete")
 
     elif cmd == "prepare-hard":
-        from vae_hmc_tpu.core.config import MFCC_HARD, TEXT_HARD
+        from vae_hmc_tpu.core.config import TEXT_HARD
         from vae_hmc_tpu.pipelines import hard
         out = hard.prepare_features(
             _source(args), ws,

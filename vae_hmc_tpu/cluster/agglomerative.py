@@ -12,8 +12,6 @@ Labels match sklearn exactly up to label permutation (tested via ARI == 1).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from vae_hmc_tpu.metrics.internal import pairwise_sq_dists

@@ -21,7 +21,7 @@ import numpy as np
 from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
 from vae_hmc_tpu.cluster.kmeans import kmeans
 from vae_hmc_tpu.core.config import KMeansConfig
-from vae_hmc_tpu.metrics import external, internal
+from vae_hmc_tpu.metrics import internal
 from vae_hmc_tpu.metrics.safe import safe_ari
 
 

@@ -8,7 +8,7 @@ logic into scripts 12/13/14/16 (reference scripts/12:35-60
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

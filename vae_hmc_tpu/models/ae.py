@@ -6,8 +6,6 @@ Used only as the hard-tier comparison arm (22:139-171).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 
 from vae_hmc_tpu.models.dense_vae import _dense

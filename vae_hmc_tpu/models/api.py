@@ -11,7 +11,7 @@ conv model additionally tensor-shards its giant FC kernels over 'model'.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
 from vae_hmc_tpu.models.ae import AE
 from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE
 from vae_hmc_tpu.models.dense_vae import DenseVAE
-from vae_hmc_tpu.models.train import FitResult, encode_in_batches, fit
+from vae_hmc_tpu.models.train import encode_in_batches, fit
 
 
 def _fit_dispatch(apply_fn, params, arrays, mesh, param_shardings=None,

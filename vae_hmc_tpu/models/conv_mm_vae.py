@@ -16,7 +16,7 @@ anyway and the arithmetic is exact: H -> floor((H-1)/2)+1 per stride-2 conv.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vae_hmc_tpu.models.dense_vae import _dense, reparameterize
-from vae_hmc_tpu.models.nn_init import torch_bias_init_for, torch_kernel_init
+from vae_hmc_tpu.models.nn_init import torch_kernel_init
 
 
 def _conv_out(n: int, k: int = 3, s: int = 2, p: int = 1) -> int:

@@ -8,7 +8,7 @@ explained-variance with ddof=1.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

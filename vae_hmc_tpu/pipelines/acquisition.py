@@ -26,14 +26,11 @@ pluggable callables so everything is testable offline:
 """
 from __future__ import annotations
 
-import json
 import re
 import time
 import zipfile
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
-
-import numpy as np
 
 from vae_hmc_tpu.core.config import Workspace
 from vae_hmc_tpu.core.manifest import (Manifest, read_manifest,

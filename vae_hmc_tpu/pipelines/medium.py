@@ -19,7 +19,6 @@ Reproduces the artifact contract of reference scripts 10-17:
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 

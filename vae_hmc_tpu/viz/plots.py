@@ -7,7 +7,7 @@ Agg backend so headless runs work and the compute path never depends on it.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
