@@ -1,0 +1,96 @@
+"""Core utilities: alignment, manifest, scaler, config serialization."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vae_hmc_tpu.core import align, config
+from vae_hmc_tpu.core.manifest import (Manifest, read_manifest,
+                                       validate_balanced, write_manifest)
+from vae_hmc_tpu.ops.scaler import StandardScaler
+
+
+def test_align_secondary_to_primary_mask_semantics():
+    prim = np.array([10, 20, 30, 40])
+    sec_ids = np.array([30, 10])
+    sec = np.array([[3.0, 3.0], [1.0, 1.0]])
+    out, mask = align.align_secondary_to_primary(prim, sec_ids, sec)
+    np.testing.assert_array_equal(mask, [1, 0, 1, 0])
+    np.testing.assert_array_equal(out[0], [1.0, 1.0])
+    np.testing.assert_array_equal(out[2], [3.0, 3.0])
+    np.testing.assert_array_equal(out[1], [0.0, 0.0])   # zero-fill missing
+
+
+def test_align_mixed_id_types():
+    out, mask = align.align_secondary_to_primary(
+        np.array(["10", "20"]), np.array([20, 10]),
+        np.array([[2.0], [1.0]]))
+    np.testing.assert_array_equal(out[:, 0], [1.0, 2.0])
+    assert mask.sum() == 2
+
+
+def test_encode_labels_sorted_unique():
+    codes, classes = align.encode_labels(["rock", "folk", "rock", "pop"])
+    assert list(classes) == ["folk", "pop", "rock"]
+    np.testing.assert_array_equal(codes, [2, 0, 2, 1])
+
+
+def test_manifest_roundtrip_and_path_normalization(tmp_path):
+    rows = [{"track_id": "5", "genre": "Rock",
+             "audio_path": "data\\fma_small\\005\\000005.mp3"}]
+    p = write_manifest(tmp_path / "m.csv", rows)
+    m = read_manifest(p)
+    assert m.track_ids.tolist() == [5]
+    assert str(m.audio_paths()[0]) == "data/fma_small/005/000005.mp3"
+    assert m.genre_map() == {5: "Rock"}
+
+
+def test_validate_balanced_raises():
+    m = Manifest([{"track_id": "1", "genre": "a"},
+                  {"track_id": "2", "genre": "a"},
+                  {"track_id": "3", "genre": "b"}])
+    with pytest.raises(ValueError):
+        validate_balanced(m, per_genre=2, n_genres=2)
+
+
+def test_scaler_matches_sklearn_and_roundtrips(tmp_path, rng):
+    from sklearn.preprocessing import StandardScaler as SkScaler
+    x = rng.normal(3, 5, (50, 4)).astype(np.float32)
+    x[:, 2] = 7.0                                   # zero-variance column
+    ours = np.asarray(StandardScaler().fit_transform(x))
+    ref = SkScaler().fit_transform(x)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    s = StandardScaler().fit(x)
+    s.save(tmp_path / "s.npz")
+    s2 = StandardScaler.load(tmp_path / "s.npz")
+    np.testing.assert_allclose(np.asarray(s2.transform(x)), ours, atol=1e-6)
+
+
+def test_config_presets_cite_reference_defaults():
+    assert config.MFCC_EASY.duration_s == 30.0 and config.MFCC_EASY.n_mfcc == 40
+    assert config.MFCC_HARD.duration_s == 20.0
+    assert config.MFCC_HARD.min_duration_s == 1.0
+    assert config.MEL_MEDIUM.n_frames == 646
+    assert config.DENSE_VAE_EASY.epochs == 40
+    assert config.CONV_MM_VAE_MEDIUM.epochs == 25
+    assert config.CONV_MM_VAE_MEDIUM.learning_rate == 2e-3
+    assert config.HARD_BETA_VAE.beta == 4.0
+    assert config.HARD_BETA_VAE.loss_reduction == "sum"
+    assert config.KMEANS_EASY.n_clusters == 5 and config.KMEANS_EASY.standardize
+    assert not config.KMEANS_HARD.standardize
+    assert config.SWEEP_MEDIUM.ks == (4, 5, 6, 7, 8)
+
+
+def test_config_json_roundtrip(tmp_path):
+    config.to_json(config.DENSE_VAE_EASY, tmp_path / "c.json")
+    d = json.loads((tmp_path / "c.json").read_text())
+    assert d["latent_dim"] == 16 and d["epochs"] == 40
+
+
+def test_named_keys_stable():
+    from vae_hmc_tpu.core import rng as rngmod
+    a = rngmod.named_keys(42, "shuffle", "noise")
+    b = rngmod.named_keys(42, "noise", "shuffle")
+    np.testing.assert_array_equal(np.asarray(a["noise"]),
+                                  np.asarray(b["noise"]))
