@@ -150,10 +150,22 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
 # ---------------------------------------------------------------------------
 
 
+def _build_rep(name, x, ids, genre_map, standardize) -> RepData:
+    x = np.asarray(x)
+    x = x.reshape(x.shape[0], -1).astype(np.float32)
+    if standardize:
+        x = np.asarray(StandardScaler().fit_transform(x))
+    y_true = labels_for_ids(ids, genre_map) if genre_map is not None else None
+    return RepData.build(name, x, y_true)
+
+
 def _load_reps(ws: Workspace, genre_map: Optional[Dict],
                standardize: bool = False,
                names: Sequence[str] = ("vae_mm_latents", "baseline_mel_flat",
-                                       "baseline_lyrics_only")) -> List[RepData]:
+                                       "baseline_lyrics_only"),
+               arrays: Optional[Dict] = None) -> List[RepData]:
+    """arrays: optional {name: (x, ids)} overriding the on-disk artifacts —
+    lets run_medium_pipeline thread stage outputs through memory."""
     paths = {
         "vae_mm_latents": (ws.data / "vae_mm_latents_mu.npy",
                            ws.data / "vae_mm_latents_track_ids.npy"),
@@ -164,14 +176,12 @@ def _load_reps(ws: Workspace, genre_map: Optional[Dict],
     }
     reps = []
     for name in names:
-        xp, ip = paths[name]
-        x, ids = artifacts.load_features(xp, ip)
-        x = x.reshape(x.shape[0], -1).astype(np.float32)
-        if standardize:
-            x = np.asarray(StandardScaler().fit_transform(x))
-        y_true = (labels_for_ids(ids, genre_map)
-                  if genre_map is not None else None)
-        reps.append(RepData.build(name, x, y_true))
+        if arrays is not None and name in arrays:
+            x, ids = arrays[name]
+        else:
+            xp, ip = paths[name]
+            x, ids = artifacts.load_features(xp, ip)
+        reps.append(_build_rep(name, x, ids, genre_map, standardize))
     return reps
 
 
@@ -189,9 +199,10 @@ _HDR16 = ["representation", "algo", "params", "n_clusters_found", "n_noise",
 
 def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
                          n_clusters: int = 6,
-                         standardize: bool = False) -> List[Dict]:
+                         standardize: bool = False,
+                         arrays: Optional[Dict] = None) -> List[Dict]:
     """Script 13: fixed-k suite over the 3 representations."""
-    reps = _load_reps(ws, genre_map, standardize)
+    reps = _load_reps(ws, genre_map, standardize, arrays=arrays)
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.cluster_suite(rep, n_clusters)
@@ -201,9 +212,11 @@ def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
 
 def full_clustering_sweep(ws: Workspace, genre_map: Optional[Dict] = None,
                           cfg: SweepConfig = SweepConfig(),
-                          standardize: bool = False) -> List[Dict]:
+                          standardize: bool = False,
+                          arrays: Optional[Dict] = None) -> List[Dict]:
     """Script 16: full grid + best-by-representation + best-overall tables."""
-    reps = _load_reps(ws, genre_map, standardize, cfg.representations)
+    reps = _load_reps(ws, genre_map, standardize, cfg.representations,
+                      arrays=arrays)
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.full_sweep(rep, cfg.ks, cfg.dbscan_eps,
@@ -462,14 +475,19 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                         vae_cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                         sweep_cfg: SweepConfig = SweepConfig(),
                         with_viz: bool = True, device_batch: int = 32,
-                        verbose: bool = False) -> Dict:
+                        verbose: bool = False,
+                        write_mel_features: bool = True) -> Dict:
     genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
                                                 source.genres)}
-    a = build_audio_features(source, ws, mel_cfg, device_batch)
+    a = build_audio_features(source, ws, mel_cfg, device_batch,
+                             write_features=write_mel_features)
     l = build_lyrics_embeddings(source, ws, text_cfg)
     t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l)
-    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6)
-    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg)
+    arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
+              "baseline_mel_flat": (a["x"], a["ids"]),
+              "baseline_lyrics_only": (l["emb"], l["ids"])}
+    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, arrays=arrays)
+    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, arrays=arrays)
     rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
