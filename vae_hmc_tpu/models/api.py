@@ -31,7 +31,6 @@ def _fit_dispatch(apply_fn, params, arrays, mesh, param_shardings=None,
     if mesh is None:
         return fit(apply_fn, params, arrays, **kw)
     from vae_hmc_tpu.parallel.train_dp import dp_fit
-    kw.pop("kl_anneal_epochs", None)   # dp_fit: constant beta (scale-out path)
     return dp_fit(apply_fn, params, arrays, mesh,
                   param_shardings=param_shardings, **kw)
 

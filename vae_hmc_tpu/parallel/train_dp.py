@@ -23,7 +23,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vae_hmc_tpu.models.losses import elbo_loss
-from vae_hmc_tpu.models.train import FitResult
+from vae_hmc_tpu.models.train import FitResult, _beta_at
 
 
 def dp_fit(
@@ -39,6 +39,7 @@ def dp_fit(
     beta: float = 1.0,
     reduction: str = "mean",
     seed: int = 42,
+    kl_anneal_epochs: int = 0,
     variational: bool = True,
     verbose: bool = False,
 ) -> FitResult:
@@ -105,7 +106,7 @@ def dp_fit(
             for a in host_arrays)
         params, opt_state, metrics = epoch_step(
             params, opt_state, batched, ekey,
-            jnp.asarray(beta, jnp.float32))
+            jnp.asarray(_beta_at(beta, epoch, kl_anneal_epochs), jnp.float32))
         m = np.asarray(metrics).mean(axis=0)
         row = {"epoch": epoch + 1, "total": float(m[0]),
                "recon": float(m[1]), "kl": float(m[2])}
