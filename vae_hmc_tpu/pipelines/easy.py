@@ -56,16 +56,22 @@ def train_basic_vae(source: Source, ws: Workspace,
                     mfcc_cfg: MfccConfig = MfccConfig(),
                     vae_cfg: DenseVaeConfig = DenseVaeConfig(),
                     device_batch: int = 64,
-                    verbose: bool = False) -> Dict:
+                    verbose: bool = False,
+                    use_cache: bool = True) -> Dict:
     """Script 06 equivalent. Returns {"latents", "track_ids", "history", ...}."""
     out_dir = ws.results / "vae_basic"
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    x, ids, report = features.build_mfcc_stats(source, mfcc_cfg,
-                                               device_batch=device_batch)
-    # cache blob contract (06:137-139: dict {X, track_ids} via allow_pickle)
-    np.save(out_dir / "mfcc_features_cache.npy",
-            {"X": x, "track_ids": ids}, allow_pickle=True)
+    # cache blob contract (06:119-139: dict {X, track_ids}, reused on rerun)
+    cache_path = out_dir / "mfcc_features_cache.npy"
+    report = None
+    if use_cache and cache_path.exists():
+        blob = np.load(cache_path, allow_pickle=True).item()
+        x, ids = blob["X"], blob["track_ids"]
+    else:
+        x, ids, report = features.build_mfcc_stats(source, mfcc_cfg,
+                                                   device_batch=device_batch)
+        np.save(cache_path, {"X": x, "track_ids": ids}, allow_pickle=True)
 
     scaler = StandardScaler().fit(x)
     joblib.dump(scaler, out_dir / "scaler.joblib")
@@ -79,7 +85,24 @@ def train_basic_vae(source: Source, ws: Workspace,
     np.save(out_dir / "latent_mu.npy", mu.astype(np.float32))
     artifacts.save_checkpoint(out_dir / "vae_basic.pt", res.params,
                               metadata={"config": asdict(cfg)})
-    train_config = {**asdict(mfcc_cfg), **asdict(cfg)}
+    # train_config.json uses the reference's key names (06:348-349 contract,
+    # cf. the committed results/vae_basic/train_config.json)
+    train_config = {
+        "out_dir": str(out_dir),
+        "sample_rate": mfcc_cfg.sample_rate,
+        "duration_sec": mfcc_cfg.duration_s,
+        "n_mfcc": mfcc_cfg.n_mfcc,
+        "hop_length": mfcc_cfg.hop_length,
+        "n_fft": mfcc_cfg.n_fft,
+        "batch_size": cfg.batch_size,
+        "epochs": cfg.epochs,
+        "lr": cfg.learning_rate,
+        "latent_dim": cfg.latent_dim,
+        "hidden_dim": cfg.hidden_dims[0],
+        "beta": cfg.beta,
+        "seed": cfg.seed,
+        "cache_features": use_cache,
+    }
     (out_dir / "train_config.json").write_text(json.dumps(train_config, indent=2))
     hist_cols = {k: [h[k] for h in res.history]
                  for k in ("epoch", "total", "recon", "kl")}
