@@ -240,16 +240,29 @@ def fetch_lyrics(ws: Workspace, manifest_path: Optional[Path] = None,
     return {"processed": processed, "fetched": fetched}
 
 
+def _load_dotenv_token(name: str) -> Optional[str]:
+    """Minimal .env reader (the reference loads GENIUS_ACCESS_TOKEN via
+    python-dotenv, 02:143-144); env var wins over the file."""
+    import os
+    if os.environ.get(name):
+        return os.environ[name]
+    p = Path(".env")
+    if p.exists():
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if line.startswith(f"{name}="):
+                return line.split("=", 1)[1].strip().strip("'\"")
+    return None
+
+
 def default_lyrics_fetchers() -> List[Tuple[str, FetchFn]]:
     """Genius (needs GENIUS_ACCESS_TOKEN) then LRCLIB, like ref 02:189-202.
     Both are optional imports; absent providers are skipped."""
     out: List[Tuple[str, FetchFn]] = []
     try:
-        import os
-
         import lyricsgenius
 
-        token = os.environ.get("GENIUS_ACCESS_TOKEN")
+        token = _load_dotenv_token("GENIUS_ACCESS_TOKEN")
         if token:
             genius = lyricsgenius.Genius(token, timeout=15, retries=2)
 

@@ -150,11 +150,15 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
 # ---------------------------------------------------------------------------
 
 
-def _build_rep(name, x, ids, genre_map, standardize) -> RepData:
+def _build_rep(name, x, ids, genre_map, standardize,
+               pca_dim: int = 0) -> RepData:
     x = np.asarray(x)
     x = x.reshape(x.shape[0], -1).astype(np.float32)
     if standardize:
         x = np.asarray(StandardScaler().fit_transform(x))
+    if pca_dim and x.shape[1] > pca_dim:   # optional reduction (ref 13:172-174)
+        from vae_hmc_tpu.ops.pca import PCA
+        x = np.asarray(PCA(pca_dim).fit_transform(x))
     y_true = labels_for_ids(ids, genre_map) if genre_map is not None else None
     return RepData.build(name, x, y_true)
 
@@ -163,7 +167,8 @@ def _load_reps(ws: Workspace, genre_map: Optional[Dict],
                standardize: bool = False,
                names: Sequence[str] = ("vae_mm_latents", "baseline_mel_flat",
                                        "baseline_lyrics_only"),
-               arrays: Optional[Dict] = None) -> List[RepData]:
+               arrays: Optional[Dict] = None,
+               pca_dim: int = 0) -> List[RepData]:
     """arrays: optional {name: (x, ids)} overriding the on-disk artifacts —
     lets run_medium_pipeline thread stage outputs through memory."""
     paths = {
@@ -181,7 +186,7 @@ def _load_reps(ws: Workspace, genre_map: Optional[Dict],
         else:
             xp, ip = paths[name]
             x, ids = artifacts.load_features(xp, ip)
-        reps.append(_build_rep(name, x, ids, genre_map, standardize))
+        reps.append(_build_rep(name, x, ids, genre_map, standardize, pca_dim))
     return reps
 
 
@@ -200,9 +205,11 @@ _HDR16 = ["representation", "algo", "params", "n_clusters_found", "n_noise",
 def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
                          n_clusters: int = 6,
                          standardize: bool = False,
-                         arrays: Optional[Dict] = None) -> List[Dict]:
+                         arrays: Optional[Dict] = None,
+                         pca_dim: int = 0) -> List[Dict]:
     """Script 13: fixed-k suite over the 3 representations."""
-    reps = _load_reps(ws, genre_map, standardize, arrays=arrays)
+    reps = _load_reps(ws, genre_map, standardize, arrays=arrays,
+                      pca_dim=pca_dim)
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.cluster_suite(rep, n_clusters)
