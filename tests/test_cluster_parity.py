@@ -69,3 +69,18 @@ def test_langdetect_semantics():
     assert detect_language_simple("1234 !!!") == "other"
     assert detect_language_simple("") == "none"
     assert detect_language_simple(None) == "none"
+
+
+def test_dbscan_vectorized_border_conflicts_match_sklearn(rng):
+    """Overlapping dense blobs force border points adjacent to multiple
+    clusters — the min-cluster-id rule must equal sklearn's seed-order BFS."""
+    for trial in range(8):
+        k = int(rng.integers(2, 5))
+        centers = rng.normal(0, 3, (k, 2))
+        y = rng.integers(0, k, 150)
+        x = (centers[y] + rng.normal(0, 0.7, (150, 2))).astype(np.float32)
+        for eps in (0.3, 0.6):
+            for ms in (3, 5):
+                ours = dbscan(x, eps, ms)
+                sk = SkDBSCAN(eps=eps, min_samples=ms).fit_predict(x)
+                np.testing.assert_array_equal(ours, sk)

@@ -113,28 +113,8 @@ def heuristic_score(row: Dict) -> float:
 
 def _dbscan_labels_from_dists(d: np.ndarray, eps: float,
                               min_samples: int) -> np.ndarray:
-    adj = d <= eps
-    n = adj.shape[0]
-    counts = adj.sum(axis=1)
-    core = counts >= min_samples
-    labels = np.full(n, -1, dtype=np.int64)
-    cluster = 0
-    for i in range(n):
-        if labels[i] != -1 or not core[i]:
-            continue
-        labels[i] = cluster
-        stack = [i]
-        while stack:
-            p = stack.pop()
-            if not core[p]:
-                continue
-            for q in np.flatnonzero(adj[p]):
-                if labels[q] == -1:
-                    labels[q] = cluster
-                    if core[q]:
-                        stack.append(q)
-        cluster += 1
-    return labels
+    from vae_hmc_tpu.cluster.dbscan import labels_from_adjacency
+    return labels_from_adjacency(d <= eps, min_samples)
 
 
 def cluster_suite(rep: RepData, n_clusters: int,
