@@ -20,24 +20,32 @@ from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
 def ward_linkage_matrix(x: np.ndarray) -> np.ndarray:
     """Compute the (N-1, 4) merge sequence [i, j, dist, size] (scipy format,
     unsorted-cluster-id convention: new cluster n + step)."""
+    d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)),
+                    dtype=np.float64)
+    return ward_linkage_from_sq_dists(d2)
+
+
+def ward_linkage_from_sq_dists(d2: np.ndarray) -> np.ndarray:
+    """Linkage from a precomputed squared-distance matrix (consumed).
+    Lets sweep drivers reuse the representation's cached device distances."""
     try:
         from vae_hmc_tpu.cluster.native import ward_nn_chain_native
-        d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)),
-                        dtype=np.float64)
-        return ward_nn_chain_native(d2)
+        return ward_nn_chain_native(np.asarray(d2, dtype=np.float64))
     except Exception:
-        return _ward_nn_chain_numpy(x)
+        return _ward_nn_chain_numpy_from_d2(np.asarray(d2, dtype=np.float64))
 
 
 def _ward_nn_chain_numpy(x: np.ndarray) -> np.ndarray:
     """NN-chain Ward in numpy (reference implementation for the native one)."""
-    x = np.asarray(x, dtype=np.float64)
-    n = x.shape[0]
-    # Ward dissimilarity between singletons = squared euclidean / ... we track
-    # d2(i,j) and sizes; Lance-Williams update for Ward on squared distances:
-    # d2(k, i∪j) = ((si+sk) d2(k,i) + (sj+sk) d2(k,j) - sk d2(i,j)) / (si+sj+sk)
     d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)),
                     dtype=np.float64)
+    return _ward_nn_chain_numpy_from_d2(d2)
+
+
+def _ward_nn_chain_numpy_from_d2(d2: np.ndarray) -> np.ndarray:
+    # Lance-Williams update for Ward on squared distances:
+    # d2(k, i∪j) = ((si+sk) d2(k,i) + (sj+sk) d2(k,j) - sk d2(i,j)) / (si+sj+sk)
+    n = d2.shape[0]
     np.fill_diagonal(d2, np.inf)
     size = np.ones(n)
     active = np.ones(n, dtype=bool)

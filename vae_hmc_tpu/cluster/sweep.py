@@ -33,17 +33,20 @@ class RepData:
     x: np.ndarray                       # (N, d) float32 (flattened if needed)
     y_true: Optional[np.ndarray]        # (N,) genre strings or None
     dists: np.ndarray                   # (N, N) euclidean distances (cached)
+    x_dev: object = None                # device-resident copy (reused by
+                                        # every kmeans cell, no re-upload)
 
     @classmethod
     def build(cls, name: str, x: np.ndarray,
               y_true: Optional[np.ndarray]) -> "RepData":
+        import jax.numpy as jnp
         x = np.asarray(x, dtype=np.float32)
         if x.ndim > 2:
             x = x.reshape(x.shape[0], -1)
-        import jax.numpy as jnp
-        xc = jnp.asarray(x) - jnp.mean(jnp.asarray(x), axis=0, keepdims=True)
+        x_dev = jnp.asarray(x)
+        xc = x_dev - jnp.mean(x_dev, axis=0, keepdims=True)
         d = np.asarray(jnp.sqrt(internal.pairwise_sq_dists(xc)))
-        return cls(name=name, x=x, y_true=y_true, dists=d)
+        return cls(name=name, x=x, y_true=y_true, dists=d, x_dev=x_dev)
 
 
 def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
@@ -123,8 +126,8 @@ def cluster_suite(rep: RepData, n_clusters: int,
                   kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
     """Reference scripts/13:116-151 run_cluster_suite."""
     rows = []
-    km = kmeans(rep.x, KMeansConfig(n_clusters=n_clusters,
-                                    n_init=kmeans_n_init, seed=seed))
+    km = kmeans(rep.x_dev, KMeansConfig(n_clusters=n_clusters,
+                                        n_init=kmeans_n_init, seed=seed))
     rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}", km.labels,
                               with_noise_frac=False))
     ag = agglomerative_ward(rep.x, n_clusters)
@@ -149,14 +152,15 @@ def full_sweep(rep: RepData,
     rows = []
     merges = None
     for k in ks:
-        km = kmeans(rep.x, KMeansConfig(n_clusters=k, n_init=kmeans_n_init,
-                                        seed=seed))
+        km = kmeans(rep.x_dev, KMeansConfig(n_clusters=k, n_init=kmeans_n_init,
+                                            seed=seed))
         rows.append(evaluate_cell(rep, "kmeans", f"k={k}", km.labels,
                                   with_noise_frac=True))
         if merges is None:
             from vae_hmc_tpu.cluster.agglomerative import (
-                cut_tree_n_clusters, ward_linkage_matrix)
-            merges = ward_linkage_matrix(rep.x)
+                cut_tree_n_clusters, ward_linkage_from_sq_dists)
+            merges = ward_linkage_from_sq_dists(rep.dists.astype(np.float64)
+                                                ** 2)
         from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
         ag = cut_tree_n_clusters(merges, len(rep.x), k)
         rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,
