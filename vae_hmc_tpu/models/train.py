@@ -205,7 +205,7 @@ def fit(
             print(f"[fit] execute {_time.perf_counter() - _t0:.1f}s",
                   flush=True)
         else:
-            params, opt_state, hist = train_all(params, opt_state, arrays,
+            params, opt_state, hist = train_all(params, opt_state, flats,
                                                 perms, betas, keys)
         hist = np.asarray(hist)
         history = [
