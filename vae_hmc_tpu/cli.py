@@ -339,8 +339,8 @@ def main(argv=None) -> int:
             seed=args.seed, use_cvae=args.cvae,
             cond_genre=args.cond_on in ("genre", "both"),
             cond_lang=args.cond_on in ("lang", "both"),
-            append_onehot_input=(args.include_genre_in_input
-                                 or args.include_lang_in_input),
+            include_genre_in_input=args.include_genre_in_input,
+            include_lang_in_input=args.include_lang_in_input,
             kl_anneal_epochs=args.kl_anneal_epochs)
         out = hard.train_hard(ws, cfg, tag=args.tag, verbose=args.verbose)
         print(f"latents: {out['latents'].shape}")

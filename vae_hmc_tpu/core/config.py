@@ -188,9 +188,10 @@ class HardVaeConfig:
     learning_rate: float = 1e-3    # 19:144
     seed: int = 42
     use_cvae: bool = False         # 19:146 --cvae flag
-    cond_genre: bool = False       # 19:147-148 condition on genre one-hot
-    cond_lang: bool = False        # 19:149-150 condition on language one-hot
-    append_onehot_input: bool = False  # 19:174-177 one-hot appended to X
+    cond_genre: bool = False       # 19 --cond_on genre: CVAE genre one-hot
+    cond_lang: bool = False        # 19 --cond_on lang: CVAE language one-hot
+    include_genre_in_input: bool = False  # 19:174-175 one-hot appended to X
+    include_lang_in_input: bool = False   # 19:176-177 (independent of CVAE)
     n_genres: int = 6
     n_langs: int = 4
     loss_reduction: str = "sum"    # 19:226-228 per-sample SUM, then batch mean

@@ -126,9 +126,9 @@ def train_hard(ws: Workspace, cfg: HardVaeConfig = HardVaeConfig(),
     n_langs = int(y_lang.max() + 1) if y_lang.size else 1
 
     x = np.concatenate([x_audio, x_text], axis=1).astype(np.float32)
-    if cfg.append_onehot_input and cfg.cond_genre:
+    if cfg.include_genre_in_input:        # ref 19:174-175
         x = np.concatenate([x, _one_hot(y_genre, n_genres)], axis=1)
-    if cfg.append_onehot_input and cfg.cond_lang:
+    if cfg.include_lang_in_input:         # ref 19:176-177
         x = np.concatenate([x, _one_hot(y_lang, n_langs)], axis=1)
 
     cond = None
