@@ -88,3 +88,19 @@ def test_singleton_cluster_silhouette(rng):
     ours = m.silhouette(x, labels)
     ref = skm.silhouette_score(x, labels)
     assert abs(ours - ref) < 1e-4
+
+
+def test_masked_silhouette_from_dists_matches_subset(blobs):
+    """Device noise-masked silhouette == sklearn on the noise-dropped subset."""
+    import jax.numpy as jnp
+    from vae_hmc_tpu.metrics.internal import (pairwise_sq_dists,
+                                              silhouette_from_dists_masked)
+    x, labels, _ = blobs
+    noisy = labels.copy().astype(np.int64)
+    noisy[::7] = -1
+    xc = x - x.mean(axis=0)
+    d = np.sqrt(np.asarray(pairwise_sq_dists(jnp.asarray(xc))))
+    ours = silhouette_from_dists_masked(d, noisy)
+    keep = noisy != -1
+    ref = skm.silhouette_score(x[keep], noisy[keep])
+    assert abs(ours - ref) < 5e-4

@@ -35,6 +35,8 @@ class RepData:
     dists: np.ndarray                   # (N, N) euclidean distances (cached)
     x_dev: object = None                # device-resident copy (reused by
                                         # every kmeans cell, no re-upload)
+    dists_dev: object = None            # device-resident distances (reused by
+                                        # every silhouette cell)
 
     @classmethod
     def build(cls, name: str, x: np.ndarray,
@@ -45,8 +47,9 @@ class RepData:
             x = x.reshape(x.shape[0], -1)
         x_dev = jnp.asarray(x)
         xc = x_dev - jnp.mean(x_dev, axis=0, keepdims=True)
-        d = np.asarray(jnp.sqrt(internal.pairwise_sq_dists(xc)))
-        return cls(name=name, x=x, y_true=y_true, dists=d, x_dev=x_dev)
+        d_dev = jnp.sqrt(internal.pairwise_sq_dists(xc))
+        return cls(name=name, x=x, y_true=y_true, dists=np.asarray(d_dev),
+                   x_dev=x_dev, dists_dev=d_dev)
 
 
 def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
@@ -55,8 +58,9 @@ def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
     if len(np.unique(lk)) < 2 or len(lk) < 3:
         return None
     try:
-        d = rep.dists[np.ix_(keep, keep)] if not keep.all() else rep.dists
-        return internal.silhouette_from_dists(d, lk)
+        # masked device silhouette: noise points carry zero weight, the
+        # cached device distance matrix is reused across every cell
+        return internal.silhouette_from_dists_masked(rep.dists_dev, yhat)
     except Exception:
         return None
 

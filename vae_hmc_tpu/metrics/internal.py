@@ -82,6 +82,46 @@ def silhouette(x, labels) -> float:
     return float(_silhouette_impl(jnp.asarray(x), jnp.asarray(codes), k))
 
 
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _silhouette_from_d_masked(d, codes, n_clusters: int):
+    """Silhouette over the subset codes >= 0 (codes == -1 are excluded),
+    computed on the FULL distance matrix — excluded points simply carry zero
+    one-hot weight, so no host-side submatrix materialization is needed
+    (DBSCAN noise-dropping convention, reference scripts/13:62-81)."""
+    valid = codes >= 0
+    safe_codes = jnp.where(valid, codes, 0)
+    onehot = (jax.nn.one_hot(safe_codes, n_clusters, dtype=jnp.float32)
+              * valid[:, None].astype(jnp.float32))
+    counts = jnp.sum(onehot, axis=0)
+    sums = jnp.matmul(d, onehot, precision=jax.lax.Precision.HIGHEST)
+    own = counts[safe_codes]
+    intra_sum = jnp.take_along_axis(sums, safe_codes[:, None], axis=1)[:, 0]
+    a = intra_sum / jnp.maximum(own - 1.0, 1.0)
+    mean_other = sums / jnp.maximum(counts[None, :], 1.0)
+    mask = (jax.nn.one_hot(safe_codes, n_clusters, dtype=bool)
+            | (counts[None, :] == 0))
+    b = jnp.min(jnp.where(mask, jnp.inf, mean_other), axis=1)
+    s = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-30)
+    s = jnp.where(own <= 1.0, 0.0, s)
+    s = jnp.where(valid, s, 0.0)
+    return jnp.sum(s) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def silhouette_from_dists_masked(d, labels) -> float:
+    """Noise-aware silhouette from a precomputed full distance matrix:
+    label -1 points are dropped from the score without subsetting d."""
+    labels = np.asarray(labels)
+    kept = labels[labels >= 0]
+    classes = np.unique(kept)
+    k = len(classes)
+    if k < 2 or len(kept) < 3:
+        raise ValueError("need >= 2 clusters among non-noise points")
+    lut = {c: i for i, c in enumerate(classes)}
+    codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
+    return float(_silhouette_from_d_masked(jnp.asarray(d, jnp.float32),
+                                           jnp.asarray(codes), k))
+
+
 def silhouette_from_dists(d, labels) -> float:
     """Silhouette from a precomputed (N, N) euclidean distance matrix.
 
