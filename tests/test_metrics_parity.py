@@ -104,3 +104,19 @@ def test_masked_silhouette_from_dists_matches_subset(blobs):
     keep = noisy != -1
     ref = skm.silhouette_score(x[keep], noisy[keep])
     assert abs(ours - ref) < 5e-4
+
+
+def test_masked_dbi_matches_subset(blobs):
+    """Device noise-masked DBI == sklearn on the noise-dropped subset
+    (no host subsetting of x — the sweep's per-cell path)."""
+    from vae_hmc_tpu.metrics.internal import davies_bouldin_masked
+    x, labels, _ = blobs
+    noisy = labels.copy().astype(np.int64)
+    noisy[::5] = -1
+    keep = noisy != -1
+    ours = davies_bouldin_masked(x, noisy)
+    ref = skm.davies_bouldin_score(x[keep], noisy[keep])
+    assert abs(ours - ref) < 1e-4
+    # no noise at all: must equal the plain DBI
+    assert abs(davies_bouldin_masked(x, labels)
+               - skm.davies_bouldin_score(x, labels)) < 1e-4

@@ -1,12 +1,13 @@
 """Micro-profiler for the conv-MM-VAE train step on the real TPU.
 
 Times each candidate program as a K-iteration jitted lax.scan (carry-threaded
-so XLA cannot CSE/hoist the body) and reports (t_K2 - t_K1) / (K2 - K1),
-which cancels dispatch + host-fetch overhead — the only trustworthy timing
-method on this tunneled dev chip (block_until_ready is unreliable; scalar
-readback is cheap).
+so XLA cannot CSE/hoist the body; all device operands ride the carry so they
+are program ARGUMENTS, not baked-in constants) and reports
+(t_K2 - t_K1) / (K2 - K1), which cancels dispatch + host-fetch overhead —
+the only trustworthy timing method on this tunneled dev chip
+(block_until_ready is unreliable; scalar readback is cheap).
 
-Run: python tools/profile_train.py [--batch 64] [--iters 30]
+Run: python tools/profile_train.py [--only a,b] [--skip a,b]
 """
 from __future__ import annotations
 
@@ -33,7 +34,7 @@ from vae_hmc_tpu.models.losses import elbo_loss
 
 
 def scan_time(make_body, init_carry, k1=8, k2=40, reps=3):
-    """Median of reps of ((t_k2 - t_k1) / (k2 - k1)) in ms."""
+    """min over reps of ((t_k2 - t_k1) / (k2 - k1)) in ms."""
 
     def run(k):
         @jax.jit
@@ -45,8 +46,7 @@ def scan_time(make_body, init_carry, k1=8, k2=40, reps=3):
             return jax.tree_util.tree_reduce(
                 lambda a, b: a + jnp.sum(b.astype(jnp.float32)) * 1e-30,
                 c, jnp.zeros(()))
-        # compile + warm
-        float(np.asarray(prog(init_carry)))
+        float(np.asarray(prog(init_carry)))   # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -60,15 +60,14 @@ def scan_time(make_body, init_carry, k1=8, k2=40, reps=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--skip", type=str, default="",
-                    help="comma list of bench names to skip")
+    ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--skip", type=str, default="")
     args = ap.parse_args()
-    B = args.batch
+    only = set(filter(None, args.only.split(",")))
     skip = set(filter(None, args.skip.split(",")))
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform}) batch={B}")
+    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
 
     cfg = ConvMMVaeConfig()
     model = ConvMMVAE(n_mels=cfg.in_mels, n_frames=cfg.in_frames,
@@ -76,19 +75,22 @@ def main():
                       fc_dim=cfg.audio_fc_dim, latent_dim=cfg.latent_dim,
                       lyrics_dim=cfg.lyrics_dim)
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (B, cfg.in_mels, cfg.in_frames, 1), jnp.float32)
-    lyr = jax.random.normal(key, (B, cfg.lyrics_dim), jnp.float32)
-    m = jnp.ones((B, 1), jnp.float32)
-    params = jax.jit(model.init)(key, x[:1], lyr[:1], m[:1], key)
+
+    def data(B, dtype=jnp.float32):
+        x = jax.random.normal(key, (B, cfg.in_mels, cfg.in_frames, 1), dtype)
+        lyr = jax.random.normal(key, (B, cfg.lyrics_dim), dtype)
+        m = jnp.ones((B, 1), dtype)
+        return x, lyr, m
+
+    x64, lyr64, m64 = data(64)
+    params = jax.jit(model.init)(key, x64[:1], lyr64[:1], m64[:1], key)
     tx = optax.adam(cfg.learning_rate)
     opt_state = jax.jit(tx.init)(params)
 
-    def loss_fn(p, rng, cast=None):
+    def loss_fn(p, rng, xb, lb, mb, cast=None):
         if cast is not None:
             p = jax.tree_util.tree_map(lambda w: w.astype(cast), p)
-            xb, lb, mb = x.astype(cast), lyr.astype(cast), m.astype(cast)
-        else:
-            xb, lb, mb = x, lyr, m
+            xb, lb, mb = xb.astype(cast), lb.astype(cast), mb.astype(cast)
         xhat, mu, logvar = model.apply(p, xb, lb, mb, rng)
         loss, _ = elbo_loss(xhat.astype(jnp.float32), xb.astype(jnp.float32),
                             mu.astype(jnp.float32),
@@ -98,100 +100,136 @@ def main():
     results = {}
 
     def bench(name, fn, carry):
-        if name in skip:
+        if (only and name not in only) or name in skip:
             return
         t = scan_time(fn, carry)
         results[name] = t
-        print(f"{name:42s} {t:8.3f} ms")
+        print(f"{name:44s} {t:8.3f} ms", flush=True)
 
-    # --- full train step, f32 (current production) ---
-    def step_f32(c):
-        p, o, rng = c
-        rng, sub = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
-        upd, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, upd), o, rng
+    def make_step(B, cast=None):
+        xb, lb, mb = data(B)
 
-    bench("train_step f32", step_f32, (params, opt_state, key))
+        def step(c):
+            p, o, rng = c
+            rng, sub = jax.random.split(rng)
+            _, grads = jax.value_and_grad(loss_fn)(p, sub, xb, lb, mb, cast)
+            if cast is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads)
+            upd, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, upd), o, rng
+        return step
 
-    # --- full train step, bf16 activations / f32 master params ---
-    def step_bf16(c):
-        p, o, rng = c
-        rng, sub = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(
-            partial(loss_fn, cast=jnp.bfloat16))(p, sub)
-        grads = jax.tree_util.tree_map(
-            lambda g: g.astype(jnp.float32), grads)
-        upd, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, upd), o, rng
+    bench("step_f32_b64", make_step(64), (params, opt_state, key))
+    bench("step_bf16_b64", make_step(64, jnp.bfloat16),
+          (params, opt_state, key))
+    bench("step_f32_b256", make_step(256), (params, opt_state, key))
+    bench("step_bf16_b256", make_step(256, jnp.bfloat16),
+          (params, opt_state, key))
+    bench("step_bf16_b512", make_step(512, jnp.bfloat16),
+          (params, opt_state, key))
 
-    bench("train_step bf16-act", step_bf16, (params, opt_state, key))
+    # --- forward only (params ride the carry) ---
+    def make_fwd(B, cast=None):
+        xb, lb, mb = data(B)
 
-    # --- forward only ---
-    def fwd(c, cast=None):
-        xhat, mu, logvar = model.apply(
-            params if cast is None else jax.tree_util.tree_map(
-                lambda w: w.astype(cast), params),
-            c if cast is None else c.astype(cast), lyr if cast is None
-            else lyr.astype(cast), m if cast is None else m.astype(cast),
-            key)
-        return c + jnp.mean(xhat).astype(c.dtype) * 1e-30
+        def fwd(c):
+            p, acc = c
+            loss = loss_fn(p, key, xb, lb, mb, cast)
+            return p, acc + loss * 1e-30
+        return fwd
 
-    bench("forward f32", fwd, x)
-    bench("forward bf16", partial(fwd, cast=jnp.bfloat16), x)
+    bench("fwd_f32_b64", make_fwd(64), (params, jnp.zeros(())))
+    bench("fwd_bf16_b64", make_fwd(64, jnp.bfloat16), (params, jnp.zeros(())))
 
-    # --- per-stage forward (f32): carry-threaded on their own inputs ---
-    c1 = model.bind(params)
-
+    # --- per-stage forward (f32, batch 64) ---
     def enc_tower(c):
-        mu_a, _ = c1.encode_audio(c)
-        return c + jnp.mean(mu_a) * 1e-30
+        p, acc = c
+        mu_a, _ = model.apply(p, x64, method=model.encode_audio)
+        return p, acc + jnp.mean(mu_a) * 1e-30
 
-    bench("encoder tower (3 convs + fc)", enc_tower, x)
+    bench("enc_tower_f32_b64", enc_tower, (params, jnp.zeros(())))
 
-    h1_shape = (B, (cfg.in_mels + 1) // 2, (cfg.in_frames + 1) // 2,
-                cfg.audio_channels[0])
-    h1 = jax.random.normal(key, h1_shape, jnp.float32)
+    def make_conv(layer_name, in_shape):
+        h = jax.random.normal(key, in_shape, jnp.float32)
 
-    def conv1_only(c):
-        p1 = params["params"]["enc_conv1"]
-        out = jax.lax.conv_general_dilated(
-            c, p1["kernel"], (2, 2), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return c + jnp.mean(out) * 1e-30
+        def conv_only(c):
+            p, acc = c
+            kern = p["params"][layer_name]["kernel"]
+            out = jax.lax.conv_general_dilated(
+                h + acc.astype(h.dtype) * 0, kern, (2, 2),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return p, acc + jnp.mean(out) * 1e-30
+        return conv_only
 
-    bench("enc_conv1 only (1->32ch)", conv1_only, x)
+    bench("conv1_f32_b64 (1->32)",
+          make_conv("enc_conv1", (64, 128, 646, 1)),
+          (params, jnp.zeros(())))
+    bench("conv2_f32_b64 (32->64)",
+          make_conv("enc_conv2", (64, 64, 323, 32)),
+          (params, jnp.zeros(())))
+    bench("conv3_f32_b64 (64->128)",
+          make_conv("enc_conv3", (64, 32, 162, 64)),
+          (params, jnp.zeros(())))
 
-    def conv2_only(c):
-        p2 = params["params"]["enc_conv2"]
-        out = jax.lax.conv_general_dilated(
-            c, p2["kernel"], (2, 2), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return c + jnp.mean(out) * 1e-30
-
-    bench("enc_conv2 only (32->64ch)", conv2_only, h1)
-
-    z = jax.random.normal(key, (B, cfg.latent_dim), jnp.float32)
+    z64 = jax.random.normal(key, (64, cfg.latent_dim), jnp.float32)
 
     def dec_only(c):
-        xhat = c1.decode(c)
-        return c + jnp.mean(xhat) * 1e-30
+        p, acc = c
+        xhat = model.apply(p, z64 + acc.astype(z64.dtype) * 0,
+                           method=model.decode)
+        return p, acc + jnp.mean(xhat) * 1e-30
 
-    bench("decoder (fc + 3 deconvs)", dec_only, z)
+    bench("decoder_f32_b64", dec_only, (params, jnp.zeros(())))
 
-    # --- gather cost: batch gather out of the full (N, 82688) flat ---
+    # --- fit-style step: per-iter random-row gather + reshape + step ---
+    N = 2924
+    flats = (jax.random.normal(key, (N, cfg.in_mels * cfg.in_frames),
+                               jnp.float32),
+             jax.random.normal(key, (N, cfg.lyrics_dim), jnp.float32),
+             jnp.ones((N, 1), jnp.float32))
+    perm = jax.random.permutation(key, N)[: (N // 64) * 64].reshape(-1, 64)
+
+    def make_fit_step(cast=None, gather=True):
+        def fstep(c):
+            p, o, rng, i = c
+            idx = perm[i % perm.shape[0]]
+            if gather:
+                xb = flats[0][idx].reshape(64, cfg.in_mels, cfg.in_frames, 1)
+                lb, mb = flats[1][idx], flats[2][idx]
+            else:
+                xb = jax.lax.dynamic_slice_in_dim(
+                    flats[0], (i % 44) * 64, 64).reshape(
+                        64, cfg.in_mels, cfg.in_frames, 1)
+                lb = jax.lax.dynamic_slice_in_dim(flats[1], (i % 44) * 64, 64)
+                mb = jax.lax.dynamic_slice_in_dim(flats[2], (i % 44) * 64, 64)
+            rng, sub = jax.random.split(rng)
+            _, grads = jax.value_and_grad(loss_fn)(p, sub, xb, lb, mb, cast)
+            if cast is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads)
+            upd, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, upd), o, rng, i + 1
+        return fstep
+
+    bench("fitstep_gather_f32_b64", make_fit_step(),
+          (params, opt_state, key, jnp.zeros((), jnp.int32)))
+    bench("fitstep_slice_f32_b64", make_fit_step(gather=False),
+          (params, opt_state, key, jnp.zeros((), jnp.int32)))
+
+    # --- gather: (B, 82688) rows from the resident (2924, .) flat ---
     N = 2924
     flat = jax.random.normal(key, (N, cfg.in_mels * cfg.in_frames),
                              jnp.float32)
-    idx0 = jnp.arange(B)
 
     def gather_only(c):
-        i = (c + idx0) % N
-        b = flat[i]
-        return c + (jnp.sum(b[0, :1]) * 1e-30).astype(jnp.int32)
+        f, i = c
+        b = f[i]
+        return f, (i + jnp.sum(b[:1, :1]).astype(jnp.int32) * 0 + 1) % N
 
-    bench("batch gather (B,82688) from (2924,.)", gather_only,
-          jnp.zeros((B,), jnp.int32) * 0)
+    bench("gather_b64_from_2924x82688", gather_only,
+          (flat, jnp.arange(64) * 0))
 
     print()
     for k, v in results.items():

@@ -147,6 +147,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("run-medium", help="full medium tier (10-17)")
     _add_common(p)
     p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--duration", type=float, default=15.0,
+                   help="audio seconds per track (reference: 15)")
+    p.add_argument("--no-write-mel", action="store_true",
+                   help="skip the ~1 GB audio_cnn_mel_X.npy write (features "
+                        "stay HBM-resident; id/report contract still written)")
 
     # ---- hard (18-22) ----
     p = sub.add_parser("prepare-hard", help="script 18: hard feature prep")
@@ -193,6 +198,16 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="end-to-end benchmark (bench.py)")
     p.add_argument("--n-tracks", type=int, default=2924)
+
+    p = sub.add_parser(
+        "parity-check",
+        help="run all 3 tiers and diff quality columns vs BASELINE.md — "
+             "the first thing to run when a real FMA corpus is mounted")
+    _add_common(p)
+    p.add_argument("--tol-abs", type=float, default=0.05,
+                   help="abs tolerance for unit-scale metrics")
+    p.add_argument("--tol-rel", type=float, default=0.15,
+                   help="rel tolerance for Calinski-Harabasz")
 
     args = ap.parse_args(argv)
     ws = Workspace(Path(getattr(args, "root", ".")))
@@ -316,10 +331,14 @@ def main(argv=None) -> int:
                 args.standardize, args.pre_pca_dim, args.tag, args.seed)
             print(f"wrote {out['clusters_png']}")
         else:
+            from vae_hmc_tpu.core.config import MelConfig
+            mel_cfg = MelConfig(duration_s=args.duration)
             out = medium.run_medium_pipeline(
-                _source(args), ws,
-                vae_cfg=ConvMMVaeConfig(epochs=args.epochs, seed=args.seed),
-                device_batch=args.device_batch, verbose=args.verbose)
+                _source(args), ws, mel_cfg=mel_cfg,
+                vae_cfg=ConvMMVaeConfig(epochs=args.epochs, seed=args.seed,
+                                        in_frames=mel_cfg.n_frames),
+                device_batch=args.device_batch, verbose=args.verbose,
+                write_mel_features=not args.no_write_mel)
             print("medium pipeline complete")
 
     elif cmd == "prepare-hard":
@@ -379,6 +398,16 @@ def main(argv=None) -> int:
         os.environ["BENCH_N_TRACKS"] = str(args.n_tracks)
         import bench
         bench.main()
+
+    elif cmd == "parity-check":
+        from vae_hmc_tpu.pipelines import parity
+        rows = parity.run_parity_check(
+            _source(args), ws, tol_abs=args.tol_abs, tol_rel=args.tol_rel,
+            verbose=args.verbose, device_batch=args.device_batch)
+        print(parity.format_table(rows))
+        parity.save_report(rows, ws.results / "parity_report.csv")
+        print(f"report -> {ws.results / 'parity_report.csv'}")
+        return 0 if all(r.passed for r in rows) else 1
     return 0
 
 

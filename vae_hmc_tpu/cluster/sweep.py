@@ -18,7 +18,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
 from vae_hmc_tpu.cluster.kmeans import kmeans
 from vae_hmc_tpu.core.config import KMeansConfig
 from vae_hmc_tpu.metrics import internal
@@ -27,29 +26,72 @@ from vae_hmc_tpu.metrics.safe import safe_ari
 
 @dataclass
 class RepData:
-    """A representation prepared for sweeping: features + cached distances."""
+    """A representation prepared for sweeping: features + cached distances.
+
+    Everything expensive is computed once and shared across every sweep cell
+    (and across scripts 13 and 16 when the pipeline threads the same RepData
+    through both):
+      - `dists_dev`: the (N, N) device distance matrix — silhouettes and the
+        DBSCAN epsilon-graphs read it in place;
+      - `dists`: its host copy, fetched lazily on first use (only the ward
+        NN-chain and the host DBSCAN labeling need host distances; a v5e-
+        attached host pays one ~34 MB readback per representation, not two);
+      - `ward_merges()`: the (N-1, 4) ward linkage, computed once and cut at
+        every k (the reference re-runs the full O(N^2) linkage per k,
+        scripts/16:201)."""
 
     name: str
-    x: np.ndarray                       # (N, d) float32 (flattened if needed)
     y_true: Optional[np.ndarray]        # (N,) genre strings or None
-    dists: np.ndarray                   # (N, N) euclidean distances (cached)
-    x_dev: object = None                # device-resident copy (reused by
-                                        # every kmeans cell, no re-upload)
+    x_dev: object = None                # (N, d) device float32 (reused by
+                                        # every kmeans/DBI cell, no re-upload)
     dists_dev: object = None            # device-resident distances (reused by
                                         # every silhouette cell)
+    _x_host: Optional[np.ndarray] = None
+    _dists_host: Optional[np.ndarray] = None
+    _merges: Optional[np.ndarray] = None
 
     @classmethod
-    def build(cls, name: str, x: np.ndarray,
+    def build(cls, name: str, x,
               y_true: Optional[np.ndarray]) -> "RepData":
+        """x: host numpy OR device array; device inputs never round-trip."""
+        import jax
         import jax.numpy as jnp
-        x = np.asarray(x, dtype=np.float32)
-        if x.ndim > 2:
-            x = x.reshape(x.shape[0], -1)
-        x_dev = jnp.asarray(x)
+        x_host = None if isinstance(x, jax.Array) else np.asarray(
+            x, dtype=np.float32).reshape(len(x), -1)
+        x_dev = jnp.asarray(x, dtype=jnp.float32)
+        if x_dev.ndim > 2:
+            x_dev = x_dev.reshape(x_dev.shape[0], -1)
         xc = x_dev - jnp.mean(x_dev, axis=0, keepdims=True)
         d_dev = jnp.sqrt(internal.pairwise_sq_dists(xc))
-        return cls(name=name, x=x, y_true=y_true, dists=np.asarray(d_dev),
-                   x_dev=x_dev, dists_dev=d_dev)
+        return cls(name=name, y_true=y_true, x_dev=x_dev, dists_dev=d_dev,
+                   _x_host=x_host)
+
+    @property
+    def n(self) -> int:
+        return int(self.x_dev.shape[0])
+
+    @property
+    def x(self) -> np.ndarray:
+        """(N, d) features on host (lazy fetch; sweep paths don't need it)."""
+        if self._x_host is None:
+            self._x_host = np.asarray(self.x_dev)
+        return self._x_host
+
+    @property
+    def dists(self) -> np.ndarray:
+        """(N, N) euclidean distances on host (one lazy device fetch)."""
+        if self._dists_host is None:
+            self._dists_host = np.asarray(self.dists_dev)
+        return self._dists_host
+
+    def ward_merges(self) -> np.ndarray:
+        """Ward linkage (scipy format), computed once per representation."""
+        if self._merges is None:
+            from vae_hmc_tpu.cluster.agglomerative import (
+                ward_linkage_from_sq_dists)
+            self._merges = ward_linkage_from_sq_dists(
+                self.dists.astype(np.float64) ** 2)
+        return self._merges
 
 
 def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
@@ -71,7 +113,10 @@ def _safe_dbi(rep: RepData, yhat: np.ndarray) -> Optional[float]:
     if len(np.unique(lk)) < 2:
         return None
     try:
-        return internal.davies_bouldin(rep.x[keep], lk)
+        # masked device DBI: noise points carry zero weight and the cached
+        # device feature matrix is reused — no per-cell host->device upload
+        # of the (N, 82k) mel-flat representation (was ~1 GB per cell)
+        return internal.davies_bouldin_masked(rep.x_dev, yhat)
     except Exception:
         return None
 
@@ -134,7 +179,8 @@ def cluster_suite(rep: RepData, n_clusters: int,
                                         n_init=kmeans_n_init, seed=seed))
     rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}", km.labels,
                               with_noise_frac=False))
-    ag = agglomerative_ward(rep.x, n_clusters)
+    from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
+    ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, n_clusters)
     rows.append(evaluate_cell(rep, "agglomerative", f"k={n_clusters},ward",
                               ag, with_noise_frac=False))
     for eps in dbscan_eps:
@@ -153,20 +199,14 @@ def full_sweep(rep: RepData,
                kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
     """Reference scripts/16:159-244: per representation,
     (k x {kmeans, agglomerative}) + (eps x min_samples) DBSCAN grid."""
+    from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
     rows = []
-    merges = None
     for k in ks:
         km = kmeans(rep.x_dev, KMeansConfig(n_clusters=k, n_init=kmeans_n_init,
                                             seed=seed))
         rows.append(evaluate_cell(rep, "kmeans", f"k={k}", km.labels,
                                   with_noise_frac=True))
-        if merges is None:
-            from vae_hmc_tpu.cluster.agglomerative import (
-                cut_tree_n_clusters, ward_linkage_from_sq_dists)
-            merges = ward_linkage_from_sq_dists(rep.dists.astype(np.float64)
-                                                ** 2)
-        from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
-        ag = cut_tree_n_clusters(merges, len(rep.x), k)
+        ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, k)
         rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,
                                   with_noise_frac=True))
     for eps in eps_values:

@@ -161,6 +161,43 @@ def davies_bouldin(x, labels) -> float:
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))
+def _dbi_impl_masked(x, codes, n_clusters: int):
+    """DBI over the subset codes >= 0 (codes == -1 excluded) on the FULL
+    feature matrix: noise points carry zero one-hot weight, so a sweep can
+    reuse ONE device-resident x across cells instead of uploading a host
+    subset per cell (the (N, 82k) mel-flat representation is ~1 GB).
+    Distances are translation-invariant, so centering by the full mean
+    matches sklearn.davies_bouldin_score(x[keep], labels[keep])."""
+    x = _center(jnp.asarray(x, jnp.float32))
+    valid = codes >= 0
+    safe_codes = jnp.where(valid, codes, 0)
+    onehot = (jax.nn.one_hot(safe_codes, n_clusters, dtype=jnp.float32)
+              * valid[:, None].astype(jnp.float32))
+    counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+    centroids = jnp.matmul(onehot.T, x,
+                           precision=jax.lax.Precision.HIGHEST) / counts[:, None]
+    d_pc = jnp.sqrt(pairwise_sq_dists(x, centroids))                 # (N, k)
+    s = jnp.sum(d_pc * onehot, axis=0) / counts                      # (k,)
+    m = jnp.sqrt(pairwise_sq_dists(centroids))                       # (k, k)
+    r = (s[:, None] + s[None, :]) / jnp.where(m > 0, m, jnp.inf)
+    r = jnp.where(jnp.eye(n_clusters, dtype=bool), -jnp.inf, r)
+    return jnp.mean(jnp.max(r, axis=1))
+
+
+def davies_bouldin_masked(x, labels) -> float:
+    """DBI ignoring noise (label -1) without subsetting x on host."""
+    labels = np.asarray(labels)
+    kept = labels[labels >= 0]
+    classes = np.unique(kept)
+    k = len(classes)
+    if k < 2:
+        raise ValueError("davies_bouldin requires >= 2 clusters")
+    lut = {c: i for i, c in enumerate(classes)}
+    codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
+    return float(_dbi_impl_masked(jnp.asarray(x), jnp.asarray(codes), k))
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
 def _ch_impl(x, codes, n_clusters: int):
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]

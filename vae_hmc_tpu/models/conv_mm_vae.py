@@ -126,10 +126,14 @@ class ConvMMVAE(nn.Module):
         return self.decode(z), mu, logvar
 
 
-def to_nhwc(x: np.ndarray) -> np.ndarray:
-    """(N, 1, H, W) file-contract layout -> (N, H, W, 1) device layout."""
+def to_nhwc(x):
+    """(N, 1, H, W) file-contract layout -> (N, H, W, 1) device layout.
+
+    Accepts numpy or device arrays; device arrays are relayouted in place
+    on device (no host round-trip)."""
+    xp = jnp if isinstance(x, jax.Array) else np
     if x.ndim == 4 and x.shape[1] == 1:
-        return np.transpose(x, (0, 2, 3, 1))
+        return xp.transpose(x, (0, 2, 3, 1))
     if x.ndim == 3:
         return x[..., None]
     return x

@@ -102,13 +102,22 @@ def build_logmel(
     cfg: MelConfig,
     device_batch: int = 32,
     strict: bool = False,
+    hbm_resident: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, BuildReport]:
-    """-> (X (N_ok, 1, n_mels, T) f32 file-contract layout, ids, report).
+    """-> (X, ids, report).
 
     Reproduces reference scripts/10: fixed 15 s pad/trim, log-mel dB with
     per-sample ref=max, per-sample standardization, T locked by config
     (the reference locks T to the first processed sample, 10:113-156 — with
     static framing T is deterministic: 1 + n_samples // hop).
+
+    hbm_resident=False (file-contract mode): X is a host (N_ok, 1, mels, T)
+    numpy array — one device->host fetch per batch, as the .npy write needs.
+    hbm_resident=True: X is a DEVICE (N_ok, mels, T) array; only the per-
+    track finite flags (a few bytes/track) cross back to host.  The ~1 GB
+    feature tensor then feeds training/clustering in place — on hosts with
+    slow device readback the per-batch fetches are the single largest cost
+    of the medium tier.
     """
     n = len(source)
     feats, ids, rows = [], [], []
@@ -119,7 +128,10 @@ def build_logmel(
         x = mel_ops.logmel_batch(jnp.asarray(batch), cfg)
         if cfg.per_sample_standardize:
             x = mel_ops.per_sample_standardize(x)
-        x = np.asarray(x)
+        finite = np.asarray(jnp.all(jnp.isfinite(x), axis=(1, 2)))
+        if not hbm_resident:
+            x = np.asarray(x)
+        ok_rows = []
         for r, i in enumerate(idx):
             tid = int(source.track_ids[i])
             path = getattr(source, "paths", None)
@@ -129,13 +141,24 @@ def build_logmel(
                     raise RuntimeError(f"track {tid}: {errors[r]}")
                 rows.append((tid, pstr, "error", errors[r]))
                 continue
-            if not np.all(np.isfinite(x[r])):
+            if not finite[r]:
                 rows.append((tid, pstr, "error", "non_finite_features"))
                 continue
-            feats.append(x[r])
+            ok_rows.append(r)
             ids.append(tid)
             rows.append((tid, pstr, "ok", ""))
+        if not ok_rows:
+            continue
+        if len(ok_rows) == len(idx):
+            feats.append(x)                      # common case: whole batch ok
+        elif hbm_resident:
+            feats.append(jnp.take(x, jnp.asarray(ok_rows), axis=0))
+        else:
+            feats.append(x[np.asarray(ok_rows)])
     if not feats:
         raise RuntimeError("no tracks produced features")
-    X = np.stack(feats)[:, None, :, :].astype(np.float32)   # (N, 1, mels, T)
+    if hbm_resident:
+        X = jnp.concatenate(feats, axis=0)                   # (N, mels, T)
+    else:
+        X = np.concatenate(feats, axis=0)[:, None, :, :].astype(np.float32)
     return X, np.asarray(ids, dtype=np.int64), BuildReport(rows)

@@ -46,15 +46,23 @@ from vae_hmc_tpu.viz import plots
 def build_audio_features(source: Source, ws: Workspace,
                          cfg: MelConfig = MelConfig(),
                          device_batch: int = 32,
-                         write_features: bool = True) -> Dict:
+                         write_features: bool = True,
+                         hbm_resident: bool = False) -> Dict:
     """write_features=False keeps the (N,1,128,T) tensor in memory only —
     for bandwidth-constrained dev hosts where fetching ~1 GB to write
     audio_cnn_mel_X.npy dominates; the id/report contract is still written.
-    Default True preserves the full reference file contract."""
-    x, ids, report = features.build_logmel(source, cfg, device_batch)
+    Default True preserves the full reference file contract.
+
+    hbm_resident=True: the returned "x" is a DEVICE (N, mels, T) array that
+    never round-trips to host (unless write_features forces one fetch for
+    the .npy); training and the sweep consume it in place."""
+    x, ids, report = features.build_logmel(source, cfg, device_batch,
+                                           hbm_resident=hbm_resident)
     ws.data.mkdir(parents=True, exist_ok=True)
     if write_features:
-        np.save(ws.data / "audio_cnn_mel_X.npy", x)
+        x_file = (np.asarray(x)[:, None, :, :] if hbm_resident
+                  else x)                          # (N, 1, mels, T) contract
+        np.save(ws.data / "audio_cnn_mel_X.npy", x_file)
     np.save(ws.data / "audio_cnn_mel_track_ids.npy", ids)
     report.save(ws.results / "audio_cnn_mel_build_report.csv")
     return {"x": x, "ids": ids, "report": report}
@@ -124,7 +132,7 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
     out_dir = ws.results / "vae_conv_mm_medium"
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    x_nhwc = to_nhwc(np.asarray(x))
+    x_nhwc = to_nhwc(x)          # device arrays relayout on device
     model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
                                                  verbose=verbose, mesh=mesh)
     # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
@@ -138,7 +146,8 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
         artifacts.save_checkpoint(
             out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", res.params,
             metadata={"config": asdict(cfg), "epoch": cfg.epochs,
-                      "input_shape": list(x.shape)})
+                      "input_shape": ([x.shape[0], 1, x.shape[1], x.shape[2]]
+                                      if x.ndim == 3 else list(x.shape))})
     np.save(ws.data / "vae_mm_latents_mu.npy", mu.astype(np.float32))
     np.save(ws.data / "vae_mm_latents_track_ids.npy", a_ids)
     return {"latents": mu, "ids": a_ids, "history": res.history,
@@ -152,13 +161,26 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
 
 def _build_rep(name, x, ids, genre_map, standardize,
                pca_dim: int = 0) -> RepData:
-    x = np.asarray(x)
-    x = x.reshape(x.shape[0], -1).astype(np.float32)
+    """Accepts host numpy or device arrays; device inputs stay on device
+    (standardization/PCA run as device ops, sklearn-equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    on_device = isinstance(x, jax.Array)
+    xp = jnp if on_device else np
+    x = x if on_device else np.asarray(x)
+    x = x.reshape(x.shape[0], -1).astype(xp.float32)
     if standardize:
-        x = np.asarray(StandardScaler().fit_transform(x))
+        if on_device:
+            mean = jnp.mean(x, axis=0)
+            std = jnp.std(x, axis=0)           # ddof=0, sklearn default
+            x = (x - mean) / jnp.where(std == 0.0, 1.0, std)
+        else:
+            x = np.asarray(StandardScaler().fit_transform(x))
     if pca_dim and x.shape[1] > pca_dim:   # optional reduction (ref 13:172-174)
         from vae_hmc_tpu.ops.pca import PCA
-        x = np.asarray(PCA(pca_dim).fit_transform(x))
+        x = PCA(pca_dim).fit_transform(x)   # device op; host fetch only if
+        if not on_device:                   # the caller started on host
+            x = np.asarray(x)
     y_true = labels_for_ids(ids, genre_map) if genre_map is not None else None
     return RepData.build(name, x, y_true)
 
@@ -206,10 +228,16 @@ def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
                          n_clusters: int = 6,
                          standardize: bool = False,
                          arrays: Optional[Dict] = None,
-                         pca_dim: int = 0) -> List[Dict]:
-    """Script 13: fixed-k suite over the 3 representations."""
-    reps = _load_reps(ws, genre_map, standardize, arrays=arrays,
-                      pca_dim=pca_dim)
+                         pca_dim: int = 0,
+                         reps: Optional[List[RepData]] = None) -> List[Dict]:
+    """Script 13: fixed-k suite over the 3 representations.
+
+    `reps`: pass prebuilt RepData to share the cached device distance
+    matrices and ward linkages with full_clustering_sweep (the pipeline
+    builds each representation exactly once)."""
+    if reps is None:
+        reps = _load_reps(ws, genre_map, standardize, arrays=arrays,
+                          pca_dim=pca_dim)
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.cluster_suite(rep, n_clusters)
@@ -220,10 +248,12 @@ def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
 def full_clustering_sweep(ws: Workspace, genre_map: Optional[Dict] = None,
                           cfg: SweepConfig = SweepConfig(),
                           standardize: bool = False,
-                          arrays: Optional[Dict] = None) -> List[Dict]:
+                          arrays: Optional[Dict] = None,
+                          reps: Optional[List[RepData]] = None) -> List[Dict]:
     """Script 16: full grid + best-by-representation + best-overall tables."""
-    reps = _load_reps(ws, genre_map, standardize, cfg.representations,
-                      arrays=arrays)
+    if reps is None:
+        reps = _load_reps(ws, genre_map, standardize, cfg.representations,
+                          arrays=arrays)
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.full_sweep(rep, cfg.ks, cfg.dbscan_eps,
@@ -400,7 +430,11 @@ def side_by_side_and_dbscan_sweep(
         ws: Workspace, k: int = 6, dbscan_min_samples: int = 5,
         eps_list: Sequence[float] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1.0),
         standardize: bool = False, tag: str = "medium",
-        seed: int = 42) -> Dict:
+        seed: int = 42, arrays: Optional[Dict] = None) -> Dict:
+    """arrays: optional {vae_mm_latents|baseline_mel_flat|
+    baseline_lyrics_only: (x, ids)} overriding the on-disk artifacts (lets
+    the pipeline pass device-resident features instead of re-reading the
+    ~1 GB mel .npy; device arrays are flattened on device)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -412,10 +446,19 @@ def side_by_side_and_dbscan_sweep(
 
     out_dir = ws.results / "cluster_viz"
     out_dir.mkdir(parents=True, exist_ok=True)
-    x_vae = np.load(ws.data / "vae_mm_latents_mu.npy").astype(np.float32)
-    x_mel = np.load(ws.data / "audio_cnn_mel_X.npy").astype(np.float32)
-    x_mel = x_mel.reshape(x_mel.shape[0], -1)
-    x_lyr = np.load(ws.data / "lyrics_embeddings.npy").astype(np.float32)
+
+    def _get(name, path):
+        if arrays is not None and name in arrays:
+            return arrays[name][0]
+        return np.load(ws.data / path).astype(np.float32)
+
+    import jax
+    import jax.numpy as jnp
+    x_vae = _get("vae_mm_latents", "vae_mm_latents_mu.npy")
+    x_mel = _get("baseline_mel_flat", "audio_cnn_mel_X.npy")
+    xp_mel = jnp if isinstance(x_mel, jax.Array) else np
+    x_mel = x_mel.reshape(x_mel.shape[0], -1).astype(xp_mel.float32)
+    x_lyr = _get("baseline_lyrics_only", "lyrics_embeddings.npy")
     if standardize:
         x_vae, x_mel, x_lyr = (np.asarray(StandardScaler().fit_transform(v))
                                for v in (x_vae, x_mel, x_lyr))
@@ -483,18 +526,29 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                         sweep_cfg: SweepConfig = SweepConfig(),
                         with_viz: bool = True, device_batch: int = 32,
                         verbose: bool = False,
-                        write_mel_features: bool = True) -> Dict:
+                        write_mel_features: bool = True,
+                        hbm_resident: bool = True) -> Dict:
+    """hbm_resident=True (default): the (N, 128, T) mel tensor lives on
+    device for the whole pipeline — feature extraction feeds training and
+    the sweep in place, and the only full-tensor device->host fetch is the
+    optional audio_cnn_mel_X.npy write (write_mel_features)."""
     genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
                                                 source.genres)}
     a = build_audio_features(source, ws, mel_cfg, device_batch,
-                             write_features=write_mel_features)
+                             write_features=write_mel_features,
+                             hbm_resident=hbm_resident)
     l = build_lyrics_embeddings(source, ws, text_cfg)
     t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l)
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
               "baseline_lyrics_only": (l["emb"], l["ids"])}
-    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, arrays=arrays)
-    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, arrays=arrays)
+    # ONE RepData per representation, shared by scripts 13 and 16: the device
+    # distance matrix, its single host fetch, and the ward linkage are each
+    # computed exactly once per representation for the whole pipeline.
+    reps = _load_reps(ws, genre_map, standardize=False,
+                      names=sweep_cfg.representations, arrays=arrays)
+    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
+    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, reps=reps)
     rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
@@ -503,5 +557,5 @@ def run_medium_pipeline(source: Source, ws: Workspace,
             ws, ws.data / "vae_mm_latents_mu.npy",
             ws.data / "vae_mm_latents_track_ids.npy", genre_map,
             method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6")
-        out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6)
+        out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6, arrays=arrays)
     return out
