@@ -95,7 +95,7 @@ def _collect_ours(source: Source, ws: Workspace, verbose: bool,
     exercised on tiny corpora (CI); the resulting values are NOT parity-
     comparable — fast mode is for testing the machinery, never the
     verdict."""
-    from vae_hmc_tpu.core.config import (DenseVaeConfig, HardVaeConfig,
+    from vae_hmc_tpu.core.config import (ConvMMVaeConfig, DenseVaeConfig,
                                          MelConfig, MfccConfig)
     from vae_hmc_tpu.pipelines import easy, hard, medium
 
