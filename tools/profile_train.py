@@ -193,30 +193,30 @@ def main():
 
     def make_fit_step(cast=None, gather=True):
         def fstep(c):
-            p, o, rng, i = c
-            idx = perm[i % perm.shape[0]]
+            p, o, rng, i, fl, pm = c
+            idx = pm[i % pm.shape[0]]
             if gather:
-                xb = flats[0][idx].reshape(64, cfg.in_mels, cfg.in_frames, 1)
-                lb, mb = flats[1][idx], flats[2][idx]
+                xb = fl[0][idx].reshape(64, cfg.in_mels, cfg.in_frames, 1)
+                lb, mb = fl[1][idx], fl[2][idx]
             else:
                 xb = jax.lax.dynamic_slice_in_dim(
-                    flats[0], (i % 44) * 64, 64).reshape(
+                    fl[0], (i % 44) * 64, 64).reshape(
                         64, cfg.in_mels, cfg.in_frames, 1)
-                lb = jax.lax.dynamic_slice_in_dim(flats[1], (i % 44) * 64, 64)
-                mb = jax.lax.dynamic_slice_in_dim(flats[2], (i % 44) * 64, 64)
+                lb = jax.lax.dynamic_slice_in_dim(fl[1], (i % 44) * 64, 64)
+                mb = jax.lax.dynamic_slice_in_dim(fl[2], (i % 44) * 64, 64)
             rng, sub = jax.random.split(rng)
             _, grads = jax.value_and_grad(loss_fn)(p, sub, xb, lb, mb, cast)
             if cast is not None:
                 grads = jax.tree_util.tree_map(
                     lambda g: g.astype(jnp.float32), grads)
             upd, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, upd), o, rng, i + 1
+            return (optax.apply_updates(p, upd), o, rng, i + 1, fl, pm)
         return fstep
 
-    bench("fitstep_gather_f32_b64", make_fit_step(),
-          (params, opt_state, key, jnp.zeros((), jnp.int32)))
-    bench("fitstep_slice_f32_b64", make_fit_step(gather=False),
-          (params, opt_state, key, jnp.zeros((), jnp.int32)))
+    fit_carry = (params, opt_state, key, jnp.zeros((), jnp.int32), flats,
+                 perm)
+    bench("fitstep_gather_f32_b64", make_fit_step(), fit_carry)
+    bench("fitstep_slice_f32_b64", make_fit_step(gather=False), fit_carry)
 
     # --- gather: (B, 82688) rows from the resident (2924, .) flat ---
     N = 2924

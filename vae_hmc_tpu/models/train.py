@@ -63,7 +63,21 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = True,
+    mesh=None,                           # jax Mesh -> DP over 'data' (+ TP
+    param_shardings=None,                # via the caller's sharding tree)
 ) -> FitResult:
+    """Single fused trainer for 1 device and for device meshes.
+
+    With `mesh`, the SAME program runs SPMD: the dataset rows shard over the
+    mesh's 'data' axis (HBM use scales down per device), every minibatch is
+    sharding-constrained over 'data' so forward/backward compute shards, and
+    the gradient/loss reductions become XLA-inserted psums over ICI.  Params
+    are replicated unless `param_shardings` marks kernels for tensor
+    parallelism (parallel.mesh).  Batch composition, RNG streams, epoch
+    schedule and history arithmetic are IDENTICAL to the single-device path
+    — mesh training is step-equivalent to fit() by construction, not by a
+    parallel reimplementation (the reference has no DP at all, SURVEY §2c).
+    """
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
@@ -75,11 +89,33 @@ def fit(
     tails = tuple(a.shape[1:] for a in arrays)
     flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+        # dataset rows sharded over 'data': per-device HBM footprint is
+        # |data|/n_data; the per-step row gather crosses shards via one
+        # small XLA-inserted collective (batch-sized, rides ICI)
+        flats = tuple(jax.device_put(fa, NamedSharding(mesh, P("data")))
+                      for fa in flats)
+        if param_shardings is None:
+            param_shardings = jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), params)
+        params = jax.tree_util.tree_map(jax.device_put, params,
+                                        param_shardings)
+
+        def shard_batch(batch):
+            return tuple(jax.lax.with_sharding_constraint(b, batch_sharding)
+                         for b in batch)
+    else:
+        def shard_batch(batch):
+            return batch
+
     def gather_batch(arrs, idx):
-        return tuple(
+        batch = tuple(
             fa[idx].reshape((idx.shape[0],) + tail) if len(tail) > 1
             else fa[idx]
             for fa, tail in zip(arrs, tails))
+        return shard_batch(batch)
 
     tx = optax.adam(learning_rate)
     # ONE jitted program: fresh param buffers (the epoch programs donate
