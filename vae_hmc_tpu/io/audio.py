@@ -4,9 +4,13 @@ Dispatch per container:
   - .wav           -> native C++ decoder + windowed-sinc resampler
                       (io/native/audioio.cpp); pure-python fallback via the
                       stdlib wave module + polyphase numpy resampler;
-  - .mp3 / others  -> ffmpeg subprocess piping raw float32 PCM (the same
-                      external decoder audioread uses under librosa); a clear
-                      error when ffmpeg is unavailable;
+  - .mp3/.mp2/.mp1 -> in-process MPEG decode through the native layer
+                      (libmpg123 dlopen'd by audioio.cpp — NO per-file
+                      subprocess; the FMA corpus is 100% mp3, reference
+                      scripts/01:33-35); ffmpeg-pipe fallback when libmpg123
+                      is absent, clear error when both are;
+  - others         -> ffmpeg subprocess piping raw float32 PCM (the same
+                      external decoder audioread uses under librosa);
   - synthetic://id -> handled by the synthetic source, never reaches here.
 
 Semantics match librosa.load(sr=..., mono=True, duration=...): mono
@@ -33,6 +37,12 @@ def load_audio(path: Path, target_sr: int = 22050,
             return load_wav_native(path, target_sr, max_duration_s)
         except Exception:
             return _load_wav_python(path, target_sr, max_duration_s)
+    if suffix in (".mp3", ".mp2", ".mp1"):
+        try:
+            from vae_hmc_tpu.io.native import load_mp3_native
+            return load_mp3_native(path, target_sr, max_duration_s)
+        except Exception:
+            pass  # no libmpg123 / corrupt stream -> ffmpeg pipe below
     return _load_via_ffmpeg(path, target_sr, max_duration_s)
 
 

@@ -23,7 +23,7 @@ _build_error: Optional[str] = None
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_LIB_PATH)]
+           str(_SRC), "-o", str(_LIB_PATH), "-ldl"]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(f"native build failed:\n{proc.stderr}")
@@ -50,6 +50,11 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
             ctypes.POINTER(ctypes.c_long)]
+        lib.audioio_load_mp3.restype = ctypes.c_int
+        lib.audioio_load_mp3.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long)]
         _lib = lib
         return lib
     except Exception as e:      # remember failure; don't retry every call
@@ -71,6 +76,29 @@ def load_wav_native(path: Path, target_sr: int,
         ctypes.byref(n))
     if rc != 0:
         raise IOError(f"native wav load failed rc={rc} for {path}")
+    y = out[: n.value].copy()
+    if max_seconds is not None:
+        y = y[: int(target_sr * max_seconds)]
+    return y
+
+
+def load_mp3_native(path: Path, target_sr: int,
+                    max_seconds: Optional[float] = None) -> np.ndarray:
+    """In-process MPEG audio decode (libmpg123 dlopen'd by the C++ layer) —
+    no per-file subprocess.  rc=-20 means libmpg123 isn't on this host; the
+    caller (io.audio.load_audio) then falls back to the ffmpeg pipe."""
+    lib = get_lib()
+    cap = int(target_sr * (max_seconds + 1.0)) if max_seconds else (
+        target_sr * 60 * 30)
+    out = np.zeros(cap, dtype=np.float32)
+    n = ctypes.c_long(0)
+    rc = lib.audioio_load_mp3(
+        str(path).encode(), target_sr,
+        float(max_seconds) if max_seconds else -1.0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(n))
+    if rc != 0:
+        raise IOError(f"native mp3 load failed rc={rc} for {path}")
     y = out[: n.value].copy()
     if max_seconds is not None:
         y = y[: int(target_sr * max_seconds)]

@@ -17,6 +17,17 @@
 //   int audioio_resample(const float* in, long in_len, int in_sr,
 //                        int out_sr, float* out, long out_capacity,
 //                        long* out_len);
+//   int audioio_load_mp3(const char* path, int target_sr,
+//                        double max_seconds, float* out, long out_capacity,
+//                        long* out_len);
+//     In-process MPEG Layer I/II/III decode through libmpg123 (dlopen'd at
+//     first use — no per-file subprocess; the FMA corpus is ~3k mp3s and
+//     the reference's librosa->audioread path spawns a decoder process per
+//     track).  Decodes at the stream's native rate/channels as float32,
+//     downmixes by channel mean (librosa to_mono), then feeds the same
+//     windowed-sinc resampler as the wav path.
+
+#include <dlfcn.h>
 
 #include <cmath>
 #include <cstdint>
@@ -164,6 +175,70 @@ void sinc_resample(const double* in, long in_len, int in_sr, int out_sr,
   }
 }
 
+// ---------------------------------------------------------------------------
+// libmpg123 binding (dlopen; the mpg123 C ABI has been stable since 1.0).
+// Constants below mirror mpg123.h:
+//   enum mpg123_errors: MPG123_DONE = -12, MPG123_NEW_FORMAT = -11,
+//                       MPG123_OK = 0
+//   enum mpg123_enc_enum: MPG123_ENC_FLOAT_32 = 0x200
+//   enum mpg123_parms:  MPG123_ADD_FLAGS = 2
+//   enum mpg123_param_flags: MPG123_QUIET = 0x20, MPG123_GAPLESS = 0x40
+// ---------------------------------------------------------------------------
+
+constexpr int kMpgDone = -12;
+constexpr int kMpgNewFormat = -11;
+constexpr int kMpgOk = 0;
+constexpr int kEncFloat32 = 0x200;
+constexpr int kParmAddFlags = 2;
+constexpr long kFlagQuiet = 0x20;
+constexpr long kFlagGapless = 0x40;
+
+struct Mpg123Api {
+  void* dl = nullptr;
+  int (*init)() = nullptr;
+  void* (*make)(const char*, int*) = nullptr;              // mpg123_new
+  void (*del)(void*) = nullptr;                            // mpg123_delete
+  int (*param)(void*, int, long, double) = nullptr;
+  int (*open)(void*, const char*) = nullptr;
+  int (*close)(void*) = nullptr;
+  int (*getformat)(void*, long*, int*, int*) = nullptr;
+  int (*format_none)(void*) = nullptr;
+  int (*format)(void*, long, int, int) = nullptr;
+  int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+  bool ok() const {
+    return dl && init && make && del && open && close && getformat &&
+           format_none && format && read;
+  }
+};
+
+const Mpg123Api* get_mpg123() {
+  static Mpg123Api api;
+  static bool tried = false;
+  if (tried) return api.ok() ? &api : nullptr;
+  tried = true;
+  const char* candidates[] = {"libmpg123.so.0", "libmpg123.so"};
+  for (const char* name : candidates) {
+    api.dl = dlopen(name, RTLD_NOW | RTLD_LOCAL);
+    if (api.dl) break;
+  }
+  if (!api.dl) return nullptr;
+  auto sym = [&](const char* s) { return dlsym(api.dl, s); };
+  api.init = (int (*)())sym("mpg123_init");
+  api.make = (void* (*)(const char*, int*))sym("mpg123_new");
+  api.del = (void (*)(void*))sym("mpg123_delete");
+  api.param = (int (*)(void*, int, long, double))sym("mpg123_param");
+  api.open = (int (*)(void*, const char*))sym("mpg123_open");
+  api.close = (int (*)(void*))sym("mpg123_close");
+  api.getformat = (int (*)(void*, long*, int*, int*))sym("mpg123_getformat");
+  api.format_none = (int (*)(void*))sym("mpg123_format_none");
+  api.format = (int (*)(void*, long, int, int))sym("mpg123_format");
+  api.read = (int (*)(void*, unsigned char*, size_t, size_t*))
+      sym("mpg123_read");
+  if (!api.ok()) return nullptr;
+  api.init();  // no-op in modern mpg123, required before 1.27
+  return &api;
+}
+
 }  // namespace
 
 extern "C" {
@@ -185,6 +260,83 @@ int audioio_load_wav(const char* path, int target_sr, float* out,
   std::vector<float> res;
   sinc_resample(mono.data(), (long)mono.size(), info.sample_rate,
                 target_sr > 0 ? target_sr : info.sample_rate, &res);
+  long n = (long)res.size();
+  if (n > out_capacity) n = out_capacity;
+  memcpy(out, res.data(), n * sizeof(float));
+  *out_len = n;
+  return 0;
+}
+
+// Error codes: -20 libmpg123 unavailable, -21 open failed, -22 bad format,
+// -23 decode error.
+int audioio_load_mp3(const char* path, int target_sr, double max_seconds,
+                     float* out, long out_capacity, long* out_len) {
+  const Mpg123Api* mpg = get_mpg123();
+  if (!mpg) return -20;
+  int err = 0;
+  void* h = mpg->make(nullptr, &err);
+  if (!h) return -20;
+  if (mpg->param) mpg->param(h, kParmAddFlags, kFlagQuiet | kFlagGapless, 0.0);
+  // The output format is negotiated at open(): restrict the accepted set to
+  // float32 (any MPEG rate, mono or stereo) BEFORE opening; we downmix and
+  // resample ourselves (same path as wav).
+  mpg->format_none(h);
+  constexpr long kMpegRates[] = {8000,  11025, 12000, 16000, 22050,
+                                 24000, 32000, 44100, 48000};
+  for (long r : kMpegRates) {
+    if (mpg->format(h, r, /*MPG123_MONO|MPG123_STEREO=*/3, kEncFloat32) !=
+        kMpgOk) {
+      mpg->del(h);
+      return -22;
+    }
+  }
+  if (mpg->open(h, path) != kMpgOk) {
+    mpg->del(h);
+    return -21;
+  }
+  long rate = 0;
+  int channels = 0, encoding = 0;
+  if (mpg->getformat(h, &rate, &channels, &encoding) != kMpgOk ||
+      rate <= 0 || channels <= 0 || encoding != kEncFloat32) {
+    mpg->close(h);
+    mpg->del(h);
+    return -22;
+  }
+  const long max_frames =
+      max_seconds > 0 ? (long)llround(max_seconds * rate) + 1 : -1;
+  std::vector<float> pcm;  // interleaved
+  std::vector<unsigned char> buf(1 << 16);
+  int rc = kMpgOk;
+  while (true) {
+    size_t done = 0;
+    rc = mpg->read(h, buf.data(), buf.size(), &done);
+    if (done > 0) {
+      const float* p = reinterpret_cast<const float*>(buf.data());
+      pcm.insert(pcm.end(), p, p + done / sizeof(float));
+    }
+    if (rc == kMpgDone) break;
+    if (rc == kMpgNewFormat) {  // stream param change mid-file: re-query
+      if (mpg->getformat(h, &rate, &channels, &encoding) != kMpgOk) break;
+      continue;
+    }
+    if (rc != kMpgOk) break;
+    if (max_frames > 0 && (long)(pcm.size() / channels) >= max_frames) break;
+  }
+  mpg->close(h);
+  mpg->del(h);
+  const long n_frames = (long)(pcm.size() / channels);
+  if (n_frames == 0) return -23;
+  std::vector<double> mono(n_frames);
+  for (long i = 0; i < n_frames; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) acc += pcm[i * channels + c];
+    mono[i] = acc / channels;
+  }
+  long use = n_frames;
+  if (max_frames > 0 && use > max_frames) use = max_frames;
+  std::vector<float> res;
+  sinc_resample(mono.data(), use, (int)rate,
+                target_sr > 0 ? target_sr : (int)rate, &res);
   long n = (long)res.size();
   if (n > out_capacity) n = out_capacity;
   memcpy(out, res.data(), n * sizeof(float));
