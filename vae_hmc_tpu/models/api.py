@@ -109,6 +109,11 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
     x_nhwc: (N, n_mels, T, 1) standardized log-mel; lyr: (N, 384) aligned
     lyrics embeddings (zeros when missing); mask: (N, 1) presence gate.
     """
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("VAE_HMC_DEBUG_TIMING")
+    _t = _time.perf_counter()
+
     model = ConvMMVAE(n_mels=x_nhwc.shape[1], n_frames=x_nhwc.shape[2],
                       channels=tuple(cfg.audio_channels), fc_dim=cfg.audio_fc_dim,
                       latent_dim=cfg.latent_dim, lyrics_dim=lyr.shape[1])
@@ -126,17 +131,26 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
     if mesh is not None:
         from vae_hmc_tpu.parallel.mesh import conv_mm_param_sharding
         shardings = conv_mm_param_sharding(mesh, params)
+    if _dbg:
+        print(f"[conv_mm] init {_time.perf_counter() - _t:.1f}s", flush=True)
+        _t = _time.perf_counter()
     res = _fit_dispatch(apply_fn, params, arrays, mesh,
                         param_shardings=shardings,
                         epochs=cfg.epochs, batch_size=cfg.batch_size,
                         learning_rate=cfg.learning_rate, beta=cfg.beta,
                         reduction=cfg.loss_reduction, seed=cfg.seed,
                         verbose=verbose)
+    if _dbg:
+        print(f"[conv_mm] fit {_time.perf_counter() - _t:.1f}s", flush=True)
+        _t = _time.perf_counter()
 
     def encode_mu(p, xb, lb, mb):
         return model.apply(p, xb, lb, mb, method=model.encode)[0]
 
     mu = encode_in_batches(encode_mu, res.params, arrays, batch_size=256)
+    if _dbg:
+        print(f"[conv_mm] encode {_time.perf_counter() - _t:.1f}s",
+              flush=True)
     return model, res, mu
 
 

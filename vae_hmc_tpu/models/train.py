@@ -238,12 +238,19 @@ def fit(
             params, opt_state, hist = compiled(params, opt_state, flats,
                                                perms, betas, keys)
             jax.block_until_ready(hist)
-            print(f"[fit] execute {_time.perf_counter() - _t0:.1f}s",
+            print(f"[fit] execute-dispatch {_time.perf_counter() - _t0:.1f}s"
+                  " (block_until_ready is unreliable on tunneled devices;"
+                  " the history-fetch line is the real execute bound)",
                   flush=True)
         else:
             params, opt_state, hist = train_all(params, opt_state, flats,
                                                 perms, betas, keys)
+        if _dbg:
+            _t0 = _time.perf_counter()
         hist = np.asarray(hist)
+        if _dbg:
+            print(f"[fit] history fetch (= execute on async platforms) "
+                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         history = [
             {"epoch": e + 1, "total": float(hist[e, 0]),
              "recon": float(hist[e, 1]), "kl": float(hist[e, 2])}
@@ -310,14 +317,34 @@ def encode_in_batches(
     params,
     arrays: Sequence[jnp.ndarray],
     batch_size: int = 512,
-) -> np.ndarray:
+    to_host: bool = True,
+):
     """Full-set posterior-mean export (reference scripts/06:354-360,
-    12:289-309, 19:268-287 latent dumps), batched to bound device memory."""
+    12:289-309, 19:268-287 latent dumps).
+
+    ONE jitted program: a lax.scan over clamped-index batches (the tail
+    batch re-encodes trailing rows, then the final slice drops them), so
+    the export costs one dispatch and — with to_host — one small (N, d)
+    fetch, instead of ceil(N/B) dispatch+fetch round trips (each ~seconds
+    on remote-attached devices).  to_host=False keeps the latents
+    HBM-resident for downstream device clustering."""
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
-    jfn = jax.jit(encode_fn)
-    outs = []
-    for s in range(0, n, batch_size):
-        e = min(s + batch_size, n)
-        outs.append(np.asarray(jfn(params, *(a[s:e] for a in arrays))))
-    return np.concatenate(outs, axis=0)
+    tails = tuple(a.shape[1:] for a in arrays)
+    flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
+    nb = -(-n // batch_size)
+
+    @jax.jit
+    def run(p, arrs):
+        def body(carry, i):
+            idx = jnp.minimum(i * batch_size + jnp.arange(batch_size), n - 1)
+            batch = tuple(
+                fa[idx].reshape((batch_size,) + tail) if len(tail) > 1
+                else fa[idx]
+                for fa, tail in zip(arrs, tails))
+            return carry, encode_fn(p, *batch)
+        _, zs = jax.lax.scan(body, None, jnp.arange(nb))
+        return zs.reshape((nb * batch_size,) + zs.shape[2:])[:n]
+
+    z = run(params, flats)
+    return np.asarray(z) if to_host else z
