@@ -41,3 +41,37 @@ def test_fast_path_kl_anneal(rng):
               learning_rate=1e-3, seed=0, kl_anneal_epochs=4, beta=2.0)
     assert len(res.history) == 4
     assert np.isfinite(res.history[-1]["total"])
+
+
+def test_bf16_mixed_precision_tracks_f32():
+    """Conv preset trains in bf16 activations with f32 master params; the
+    loss trajectory must track the f32 run closely (quality parity at full
+    scale is tracked in VALIDATION.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE
+    from vae_hmc_tpu.models.train import fit
+
+    rng = np.random.default_rng(0)
+    n = 24
+    x = jnp.asarray(rng.normal(0, 1, (n, 32, 48, 1)).astype(np.float32))
+    lyr = jnp.asarray(rng.normal(0, 1, (n, 384)).astype(np.float32))
+    m = jnp.ones((n, 1), jnp.float32)
+    model = ConvMMVAE(n_mels=32, n_frames=48, latent_dim=8, fc_dim=64)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(key, x[:1], lyr[:1], m[:1], key)
+
+    def apply_fn(p, rng_, xb, lb, mb):
+        return model.apply(p, xb, lb, mb, rng_)
+
+    kw = dict(epochs=3, batch_size=8, learning_rate=2e-3, seed=0)
+    r32 = fit(apply_fn, params, (x, lyr, m), **kw)
+    rbf = fit(apply_fn, params, (x, lyr, m), compute_dtype="bfloat16", **kw)
+    # master params stay f32
+    assert all(w.dtype == jnp.float32
+               for w in jax.tree_util.tree_leaves(rbf.params))
+    for a, b in zip(r32.history, rbf.history):
+        assert abs(a["total"] - b["total"]) < 0.03 * max(abs(a["total"]), 1e-3)
+    assert rbf.history[-1]["total"] < rbf.history[0]["total"]

@@ -1,0 +1,79 @@
+"""Timed full medium tier (scripts 10-17) at reference scale on the chip.
+
+Measures the BASELINE.md north star: features -> conv-MM-VAE train ->
+102-cell sweep -> metrics under 5 minutes on one v5e.  Uses the device
+synthetic source (no audio mounted here), HBM-resident features, and the
+full artifact tree except the ~1 GB mel .npy (write_features=False — the
+dev tunnel reads device memory at ~1 MB/s; flip with --write-mel).
+
+Run: python tools/run_medium_timed.py [--n 2924] [--out /tmp/medium_ws]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2924)
+    ap.add_argument("--out", type=str, default="/tmp/medium_ws")
+    ap.add_argument("--write-mel", action="store_true")
+    ap.add_argument("--no-viz", action="store_true")
+    args = ap.parse_args()
+
+    from vae_hmc_tpu.core.config import Workspace
+    from vae_hmc_tpu.pipelines import medium
+    from vae_hmc_tpu.pipelines.sources import SyntheticSource
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+    src = SyntheticSource.make(args.n, seed=42, lyrics_coverage=0.9,
+                               device=dev.platform == "tpu")
+    ws = Workspace(args.out)
+
+    stages = {}
+    orig = {}
+    t0 = time.perf_counter()
+
+    def wrap(name, fn):
+        def inner(*a, **kw):
+            t = time.perf_counter()
+            out = fn(*a, **kw)
+            stages[name] = round(time.perf_counter() - t, 1)
+            print(f"[medium] {name}: {stages[name]}s", flush=True)
+            return out
+        return inner
+
+    for name in ("build_audio_features", "build_lyrics_embeddings",
+                 "train_conv_mm", "cluster_and_evaluate",
+                 "full_clustering_sweep", "report_tables_and_plots",
+                 "visualize_clustering", "side_by_side_and_dbscan_sweep"):
+        orig[name] = getattr(medium, name)
+        setattr(medium, name, wrap(name, orig[name]))
+    try:
+        medium.run_medium_pipeline(src, ws, with_viz=not args.no_viz,
+                                   device_batch=64,
+                                   write_mel_features=args.write_mel)
+    finally:
+        for name, fn in orig.items():
+            setattr(medium, name, fn)
+    total = round(time.perf_counter() - t0, 1)
+    print(json.dumps({"medium_tier_seconds": total, "n_tracks": args.n,
+                      "stages": stages,
+                      "under_300s": total < 300.0}))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,13 @@ class ConvMMVaeConfig:
     learning_rate: float = 2e-3    # 12:19
     seed: int = 42
     loss_reduction: str = "mean"   # 12:262-264 MSE mean + beta*KL mean
+    # "bfloat16" enables TPU mixed precision (bf16 forward/backward, f32
+    # master params + Adam + loss reductions): ~15% faster steps at batch
+    # 64, but the 25-epoch trajectory drifts visibly at full scale (final
+    # loss 0.51 vs 0.41, VALIDATION.md round 2) — quality parity with the
+    # reference's f32 torch training is the hard constraint, so f32 is the
+    # default and bf16 is an opt-in speed knob.
+    compute_dtype: str = "float32"
 
 
 CONV_MM_VAE_MEDIUM = ConvMMVaeConfig()

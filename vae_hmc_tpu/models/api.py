@@ -139,7 +139,7 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
                         epochs=cfg.epochs, batch_size=cfg.batch_size,
                         learning_rate=cfg.learning_rate, beta=cfg.beta,
                         reduction=cfg.loss_reduction, seed=cfg.seed,
-                        verbose=verbose)
+                        verbose=verbose, compute_dtype=cfg.compute_dtype)
     if _dbg:
         print(f"[conv_mm] fit {_time.perf_counter() - _t:.1f}s", flush=True)
         _t = _time.perf_counter()

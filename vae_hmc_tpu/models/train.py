@@ -65,6 +65,7 @@ def fit(
     resume: bool = True,
     mesh=None,                           # jax Mesh -> DP over 'data' (+ TP
     param_shardings=None,                # via the caller's sharding tree)
+    compute_dtype: Optional[str] = None,  # "bfloat16" -> mixed precision
 ) -> FitResult:
     """Single fused trainer for 1 device and for device meshes.
 
@@ -126,15 +127,32 @@ def fit(
         lambda p: (jax.tree_util.tree_map(jnp.array, p), tx.init(p)))(params)
     root = jax.random.PRNGKey(seed)
 
+    # Mixed precision (TPU-native default for the conv model): forward +
+    # backward run in bfloat16 — halved activation HBM traffic, MXU-native
+    # inputs — while master params, Adam moments and the loss/KL reductions
+    # stay float32.  Gradients exit the cast boundary as float32
+    # (d(astype)/dx is astype back), so the optimizer math is exact f32.
+    cast = (jnp.bfloat16 if compute_dtype in ("bf16", "bfloat16")
+            else None)
+
     def loss_fn(p, rng, batch, beta_now):
+        if cast is not None:
+            p = jax.tree_util.tree_map(
+                lambda w: w.astype(cast) if w.dtype == jnp.float32 else w, p)
+            batch = tuple(b.astype(cast) if b.dtype == jnp.float32 else b
+                          for b in batch)
         out = apply_fn(p, rng, *batch)
         if variational:
             xhat, mu, logvar = out
-            loss, aux = elbo_loss(xhat, batch[target_idx], mu, logvar,
+            loss, aux = elbo_loss(xhat.astype(jnp.float32),
+                                  batch[target_idx].astype(jnp.float32),
+                                  mu.astype(jnp.float32),
+                                  logvar.astype(jnp.float32),
                                   beta_now, reduction)
         else:
             xhat = out[0] if isinstance(out, tuple) else out
-            loss = jnp.mean((xhat - batch[target_idx]) ** 2)
+            loss = jnp.mean((xhat.astype(jnp.float32)
+                             - batch[target_idx].astype(jnp.float32)) ** 2)
             aux = {"recon": loss, "kl": jnp.zeros(()), "total": loss}
         return loss, aux
 

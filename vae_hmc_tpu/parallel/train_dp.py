@@ -45,13 +45,15 @@ def dp_fit(
     kl_anneal_epochs: int = 0,
     variational: bool = True,
     verbose: bool = False,
+    compute_dtype=None,
 ) -> FitResult:
     return fit(apply_fn, params, arrays,
                epochs=epochs, batch_size=batch_size,
                learning_rate=learning_rate, beta=beta, reduction=reduction,
                seed=seed, kl_anneal_epochs=kl_anneal_epochs,
                variational=variational, verbose=verbose,
-               mesh=mesh, param_shardings=param_shardings)
+               mesh=mesh, param_shardings=param_shardings,
+               compute_dtype=compute_dtype)
 
 
 def kmeans_restarts_sharded(x, n_clusters: int, n_init: int, mesh,
