@@ -58,6 +58,33 @@ def main() -> None:
     print(f"[bench] device: {dev.device_kind} ({dev.platform})",
           file=sys.stderr)
 
+    # Pallas compiled-on-device smoke + parity (outside the timed region):
+    # both custom kernels execute COMPILED on this chip every bench run and
+    # must match the XLA production paths.  Production uses the XLA paths
+    # because they won the on-chip benchmark at parity-grade precision
+    # (VALIDATION.md round-2 table); this guard keeps the kernels honest.
+    pallas_smoke = "skipped (cpu)"
+    if dev.platform == "tpu":
+        from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+        from vae_hmc_tpu.ops.pallas.distance_kernel import (
+            pairwise_dists_pallas)
+        from vae_hmc_tpu.ops.pallas.logmel_kernel import (
+            logmel_standardized_pallas)
+        key = jax.random.PRNGKey(0)
+        xs = jax.random.normal(key, (512, 2048), jnp.float32)
+        d_p = pairwise_dists_pallas(xs)
+        d_x = jnp.sqrt(pairwise_sq_dists(xs))
+        dist_err = float(jnp.max(jnp.abs(d_p - d_x)))
+        mcfg = MelConfig()
+        wv = 0.1 * jax.random.normal(key, (8, mcfg.n_samples), jnp.float32)
+        m_p = logmel_standardized_pallas(wv, mcfg)
+        m_x = mel_ops.per_sample_standardize(mel_ops.logmel_batch(wv, mcfg))
+        mel_err = float(jnp.max(jnp.abs(m_p - m_x)))
+        assert dist_err < 0.5 and mel_err < 0.05, (dist_err, mel_err)
+        pallas_smoke = (f"ok (compiled on {dev.device_kind}; "
+                        f"dist_err={dist_err:.2e}, mel_err={mel_err:.2e})")
+        print(f"[bench] pallas smoke: {pallas_smoke}", file=sys.stderr)
+
     mel_cfg = MelConfig()                      # 15 s, 128 mels, T=646
     vae_cfg = ConvMMVaeConfig()                # 25 epochs, batch 64
     ds = synthetic.make_dataset(n_tracks, seed=42, lyrics_coverage=0.9)
@@ -127,6 +154,7 @@ def main() -> None:
         "davies_bouldin": round(float(dbi), 5),
         "ari_vs_genre": round(float(ari), 5),
         "device": f"{dev.device_kind}",
+        "pallas_smoke": pallas_smoke,
     }
     print(json.dumps(result))
 

@@ -25,7 +25,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(x_ref, y_ref, out_ref, acc_ref, *, n_k: int):
+def _kernel(x_ref, y_ref, out_ref, acc_ref, *, n_k: int, precision):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -39,7 +39,8 @@ def _kernel(x_ref, y_ref, out_ref, acc_ref, *, n_k: int):
         + jnp.sum(y * y, axis=1)[None, :]
         - 2.0 * jax.lax.dot_general(
             x, y, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=precision)
     )
 
     @pl.when(k == n_k - 1)
@@ -47,11 +48,18 @@ def _kernel(x_ref, y_ref, out_ref, acc_ref, *, n_k: int):
         out_ref[:] = jnp.sqrt(jnp.maximum(acc_ref[:], 0.0))
 
 
-@partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+@partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret",
+                                   "precision"))
 def pairwise_dists_pallas(x: jax.Array, tile_n: int = 256,
                           tile_k: int = 512,
-                          interpret: bool = False) -> jax.Array:
-    """(N, d) -> (N, N) euclidean distances."""
+                          interpret: bool = False,
+                          precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """(N, d) -> (N, N) euclidean distances.
+
+    precision=HIGHEST keeps the -2ab cross term in the 3-pass f32-accurate
+    MXU mode — required for sklearn-parity metrics on high-dim inputs
+    (default-precision bf16 shows ~5e-3 relative distance error at d=82k);
+    pass Precision.DEFAULT only for parity-insensitive consumers."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     n_pad = _cdiv(n, tile_n) * tile_n
@@ -59,7 +67,7 @@ def pairwise_dists_pallas(x: jax.Array, tile_n: int = 256,
     if (n_pad, d_pad) != (n, d):
         x = jnp.pad(x, ((0, n_pad - n), (0, d_pad - d)))
     n_i, n_k = n_pad // tile_n, d_pad // tile_k
-    kernel = partial(_kernel, n_k=n_k)
+    kernel = partial(_kernel, n_k=n_k, precision=precision)
     out = pl.pallas_call(
         kernel,
         grid=(n_i, n_i, n_k),

@@ -1,16 +1,19 @@
-"""2-D projection dispatch: pca / umap / tsne with the reference's
-optional-dependency fallback semantics.
+"""2-D projection dispatch: pca / umap / tsne — all first-party, on device.
 
-The reference tries `import umap` and silently falls back to t-SNE when the
-package is missing (scripts 08:14-18, 14:13-25, 21:13-17).  Same here: UMAP
-is a host-side optional dependency (numba-based, no TPU value at N=3k);
-PCA and t-SNE are on-device.
+The reference treats umap-learn as an optional host dependency and silently
+falls back to t-SNE when it's missing (scripts 08:14-18, 14:13-25,
+21:13-17).  Round 2 removed the dependency: UMAP is first-party and
+on-device (viz.umap), so the fallback never triggers.  When umap-learn IS
+installed, set VAE_HMC_USE_UMAP_LEARN=1 to prefer it (exact reference
+behavior for artifact diffing); otherwise the first-party implementation
+runs — same algorithm, equivalent structure, different RNG stream.
 
 Optionally pre-projects high-dim inputs to 50-D with PCA before UMAP/t-SNE
 (reference 14:196-199).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -19,11 +22,13 @@ from vae_hmc_tpu.core.config import TsneConfig, UmapConfig
 from vae_hmc_tpu.ops.pca import PCA
 from vae_hmc_tpu.viz.tsne import tsne
 
-try:                                     # optional dependency (ref 08:14-18)
-    import umap as _umap                 # noqa: F401
-    HAVE_UMAP = True
+HAVE_UMAP = True                         # first-party (viz.umap)
+
+try:                                     # optional host package (ref 08:14-18)
+    import umap as _umap_learn           # noqa: F401
+    _HAVE_UMAP_LEARN = True
 except Exception:
-    HAVE_UMAP = False
+    _HAVE_UMAP_LEARN = False
 
 
 def reduce_2d(x: np.ndarray, method: str = "umap",
@@ -38,12 +43,15 @@ def reduce_2d(x: np.ndarray, method: str = "umap",
     if method == "pca":
         return np.asarray(PCA(2).fit_transform(x)), "pca"
     if method == "umap":
-        if HAVE_UMAP:
-            reducer = _umap.UMAP(n_neighbors=umap_cfg.n_neighbors,
-                                 min_dist=umap_cfg.min_dist,
-                                 random_state=umap_cfg.seed)
+        if _HAVE_UMAP_LEARN and os.environ.get("VAE_HMC_USE_UMAP_LEARN"):
+            reducer = _umap_learn.UMAP(n_neighbors=umap_cfg.n_neighbors,
+                                       min_dist=umap_cfg.min_dist,
+                                       random_state=umap_cfg.seed)
             return np.asarray(reducer.fit_transform(x)), "umap"
-        method = "tsne"                  # silent fallback (ref 08:84-104)
+        from vae_hmc_tpu.viz.umap import umap_2d
+        return umap_2d(x, n_neighbors=umap_cfg.n_neighbors,
+                       min_dist=umap_cfg.min_dist,
+                       seed=umap_cfg.seed), "umap"
     if method == "tsne":
         return tsne(x, tsne_cfg), "tsne"
     raise ValueError(f"unknown projection method {method!r}")

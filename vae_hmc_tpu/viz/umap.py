@@ -1,0 +1,205 @@
+"""First-party UMAP, on device, as a handful of jitted XLA programs.
+
+The reference treats umap-learn as an optional host dependency and silently
+falls back to t-SNE when it's missing (scripts 08:14-18, 14:13-25,
+21:13-17).  This module removes the dependency entirely: the full UMAP
+pipeline (McInnes, Healy & Melville 2018) implemented TPU-first —
+
+  1. exact kNN from one (N, N) device distance matmul + top_k;
+  2. fuzzy simplicial set: rho = nearest-neighbor distance, per-point sigma
+     binary-searched so sum_j exp(-(d_ij - rho_i)+ / sigma_i) = log2(k),
+     symmetrized by fuzzy union W + Wt - W*Wt;
+  3. spectral initialization: leading nontrivial eigenvectors of the
+     normalized graph Laplacian (dense eigh — N~3k is trivial on device);
+  4. SGD with negative sampling: per-epoch vectorized pass over all graph
+     edges using umap-learn's epoch_of_next_sample scheduling, attractive
+     gradient -2ab d^(2(b-1)) / (1 + a d^(2b)) on both endpoints,
+     `negative_sample_rate` uniform negatives repelling the head, per-dim
+     gradient clipping at +-4, linearly decaying learning rate — one
+     lax.fori_loop inside a single compiled program (umap-learn runs this
+     loop per-edge in numba on host).
+
+Deviations from umap-learn (documented, visualization-only artifact):
+updates within an epoch are applied as a summed scatter instead of
+sequential in-place writes, and the RNG stream differs — embeddings are
+equivalent in structure (tested via trustworthiness and label separation),
+not point-identical.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+
+_SMOOTH_K_TOL = 1e-5
+
+
+def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
+    """Least-squares fit of 1/(1 + a d^{2b}) to the fuzzy membership target
+    curve (umap-learn's find_ab_params, Gauss-Newton instead of scipy)."""
+    d = np.linspace(0.0, spread * 3.0, 300, dtype=np.float64)
+    target = np.where(d <= min_dist, 1.0,
+                      np.exp(-(d - min_dist) / spread))
+    a, b = 1.5, 1.0
+    for _ in range(200):
+        da = d ** (2.0 * b)
+        f = 1.0 / (1.0 + a * da)
+        r = f - target
+        # jacobian of f wrt (a, b)
+        denom2 = (1.0 + a * da) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dfda = -da / denom2
+            dfdb = np.where(d > 0, -2.0 * a * da * np.log(d ** 2) / denom2,
+                            0.0)
+        J = np.stack([dfda, dfdb], axis=1)
+        g = J.T @ r
+        H = J.T @ J + 1e-8 * np.eye(2)
+        step = np.linalg.solve(H, g)
+        a, b = a - step[0], b - step[1]
+    return float(a), float(b)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn(x, k: int):
+    d = jnp.sqrt(pairwise_sq_dists(x))
+    d = d.at[jnp.arange(d.shape[0]), jnp.arange(d.shape[0])].set(jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx                    # (N, k) ascending distances
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _smooth_knn(knn_d, n_iter: int = 64):
+    """Per-point (rho, sigma): umap-learn's smooth_knn_dist binary search."""
+    k = knn_d.shape[1]
+    target = jnp.log2(k)
+    rho = knn_d[:, 0]
+    adj = jnp.maximum(knn_d - rho[:, None], 0.0)
+
+    def psum(sigma):
+        return jnp.sum(jnp.exp(-adj / sigma[:, None]), axis=1)
+
+    lo = jnp.zeros(knn_d.shape[0])
+    hi = jnp.full(knn_d.shape[0], jnp.inf)
+    mid = jnp.ones(knn_d.shape[0])
+
+    def body(_, carry):
+        lo, hi, mid = carry
+        val = psum(mid)
+        too_high = val > target
+        hi = jnp.where(too_high, mid, hi)
+        lo = jnp.where(too_high, lo, mid)
+        mid = jnp.where(too_high, (lo + hi) / 2.0,
+                        jnp.where(jnp.isinf(hi), mid * 2.0, (lo + hi) / 2.0))
+        return lo, hi, mid
+
+    _, _, sigma = jax.lax.fori_loop(0, n_iter, body, (lo, hi, mid))
+    # umap floors sigma at MIN_K_DIST_SCALE * mean distance
+    mean_d = jnp.mean(knn_d)
+    sigma = jnp.maximum(sigma, 1e-3 * mean_d)
+    return rho, sigma
+
+
+def fuzzy_simplicial_set(x: jax.Array, n_neighbors: int):
+    """-> dense (N, N) symmetrized membership matrix W."""
+    knn_d, knn_i = _knn(x, n_neighbors)
+    rho, sigma = _smooth_knn(knn_d)
+
+    @jax.jit
+    def build(knn_d, knn_i, rho, sigma):
+        n = knn_d.shape[0]
+        w = jnp.exp(-jnp.maximum(knn_d - rho[:, None], 0.0)
+                    / sigma[:, None])
+        W = jnp.zeros((n, n), jnp.float32)
+        rows = jnp.repeat(jnp.arange(n), knn_d.shape[1])
+        W = W.at[rows, knn_i.reshape(-1)].set(w.reshape(-1))
+        return W + W.T - W * W.T          # fuzzy union
+
+    return build(knn_d, knn_i, rho, sigma)
+
+
+@jax.jit
+def _spectral_init(W):
+    """Leading nontrivial eigenvectors of the normalized Laplacian, scaled
+    to the +-10 box umap-learn uses."""
+    d = jnp.maximum(jnp.sum(W, axis=1), 1e-8)
+    inv_sqrt = 1.0 / jnp.sqrt(d)
+    L = jnp.eye(W.shape[0]) - inv_sqrt[:, None] * W * inv_sqrt[None, :]
+    vals, vecs = jnp.linalg.eigh(L)
+    y0 = vecs[:, 1:3]
+    scale = 10.0 / jnp.maximum(jnp.max(jnp.abs(y0)), 1e-8)
+    return y0 * scale
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "neg_rate"))
+def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
+              n_epochs: int, neg_rate: int, lr: float):
+    n = y0.shape[0]
+    e = heads.shape[0]
+
+    def epoch_body(epoch, carry):
+        y, eons, key = carry
+        alpha = lr * (1.0 - epoch / n_epochs)
+        active = eons <= epoch
+        yh, yt = y[heads], y[tails]
+        diff = yh - yt
+        d2 = jnp.sum(diff * diff, axis=1)
+        # attraction: both endpoints move (umap move_other=True)
+        grad_coeff = jnp.where(
+            d2 > 0.0,
+            (-2.0 * a * b * d2 ** (b - 1.0)) / (a * d2 ** b + 1.0),
+            0.0)
+        g = jnp.clip(grad_coeff[:, None] * diff, -4.0, 4.0)
+        g = jnp.where(active[:, None], g, 0.0)
+        y = y.at[heads].add(alpha * g)
+        y = y.at[tails].add(-alpha * g)
+        # negative sampling: neg_rate uniform points repel each active head
+        key, sub = jax.random.split(key)
+        negs = jax.random.randint(sub, (e, neg_rate), 0, n)
+        yh = y[heads]                                   # post-attraction
+        diff_n = yh[:, None, :] - y[negs]               # (E, R, 2)
+        d2n = jnp.sum(diff_n * diff_n, axis=-1)
+        coeff_n = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
+        gn = jnp.clip(coeff_n[..., None] * diff_n, -4.0, 4.0)
+        gn = jnp.where(d2n[..., None] > 0.0, gn, 4.0)   # umap: stuck pairs
+        gn = jnp.where(active[:, None, None], gn, 0.0)
+        y = y.at[heads].add(alpha * jnp.sum(gn, axis=1))
+        eons = jnp.where(active, eons + eps_per_sample, eons)
+        return y, eons, key
+
+    y, _, _ = jax.lax.fori_loop(0, n_epochs, epoch_body,
+                                (y0, eps_per_sample.copy(), key))
+    return y
+
+
+def umap_2d(x, n_neighbors: int = 15, min_dist: float = 0.1,
+            n_epochs: int = 0, negative_sample_rate: int = 5,
+            learning_rate: float = 1.0, seed: int = 42) -> np.ndarray:
+    """(N, d) -> (N, 2) UMAP embedding, fully on device."""
+    x = jnp.asarray(x, jnp.float32)
+    n = int(x.shape[0])
+    n_neighbors = min(n_neighbors, n - 1)
+    if n_epochs <= 0:
+        n_epochs = 500 if n <= 10000 else 200    # umap-learn default
+    W = fuzzy_simplicial_set(x, n_neighbors)
+    Wh = np.array(W)                      # writable host copy
+    # umap drops edges too weak to be sampled even once
+    w_max = Wh.max()
+    Wh[Wh < w_max / n_epochs] = 0.0
+    heads, tails = np.nonzero(Wh)
+    weights = Wh[heads, tails]
+    eps_per_sample = w_max / weights          # umap make_epochs_per_sample
+    y0 = _spectral_init(W)
+    key = jax.random.PRNGKey(seed)
+    # small init jitter (umap adds 1e-4-scale noise to spectral init)
+    y0 = y0 + 1e-4 * jax.random.normal(key, y0.shape)
+    y = _optimize(y0.astype(jnp.float32),
+                  jnp.asarray(heads), jnp.asarray(tails),
+                  jnp.asarray(eps_per_sample, jnp.float32),
+                  key, *find_ab_params(1.0, min_dist),
+                  n_epochs=int(n_epochs), neg_rate=int(negative_sample_rate),
+                  lr=float(learning_rate))
+    return np.asarray(y, dtype=np.float32)
