@@ -84,3 +84,28 @@ def test_dbscan_vectorized_border_conflicts_match_sklearn(rng):
                 ours = dbscan(x, eps, ms)
                 sk = SkDBSCAN(eps=eps, min_samples=ms).fit_predict(x)
                 np.testing.assert_array_equal(ours, sk)
+
+
+def test_dbscan_device_labeling_matches_host_and_sklearn(rng):
+    """The on-device labeling program (min-index propagation + device rank)
+    must agree exactly with both the host sklearn-exact path and sklearn
+    itself, including border-point ownership and noise."""
+    import jax.numpy as jnp
+    from sklearn.cluster import DBSCAN as SkDBSCAN
+
+    from vae_hmc_tpu.cluster.dbscan import (dbscan_from_dists_device,
+                                            labels_from_adjacency,
+                                            neighbor_graph)
+    from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+
+    for trial in range(4):
+        x = rng.normal(0, 1, (120, 4)).astype(np.float32)
+        x[:40] += 4.0
+        x[40:70] -= 4.0
+        d = jnp.sqrt(pairwise_sq_dists(jnp.asarray(x)))
+        for eps, ms in [(0.8, 3), (1.2, 5), (2.0, 4), (0.3, 2)]:
+            dev = dbscan_from_dists_device(d, eps, ms)
+            host = labels_from_adjacency(neighbor_graph(x, eps), ms)
+            sk = SkDBSCAN(eps=eps, min_samples=ms).fit(x).labels_
+            np.testing.assert_array_equal(dev, host)
+            np.testing.assert_array_equal(dev, sk)

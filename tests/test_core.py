@@ -94,3 +94,26 @@ def test_named_keys_stable():
     b = rngmod.named_keys(42, "noise", "shuffle")
     np.testing.assert_array_equal(np.asarray(a["noise"]),
                                   np.asarray(b["noise"]))
+
+
+def test_pca_gram_trick_matches_sklearn_wide():
+    """PCA on wide data (d > 2n) runs the Gram-matrix factorization; the
+    components/variances must still match sklearn's SVD path."""
+    from sklearn.decomposition import PCA as SkPCA
+
+    from vae_hmc_tpu.ops.pca import PCA
+
+    rng = np.random.default_rng(3)
+    x = (rng.normal(0, 1, (40, 7)) @ rng.normal(0, 1, (7, 300))
+         + 0.01 * rng.normal(0, 1, (40, 300))).astype(np.float32)
+    ours, sk = PCA(5).fit(x), SkPCA(5).fit(x)
+    np.testing.assert_allclose(ours.explained_variance_,
+                               sk.explained_variance_, rtol=2e-3)
+    np.testing.assert_allclose(ours.explained_variance_ratio_,
+                               sk.explained_variance_ratio_, rtol=2e-3)
+    # same subspace AND same svd_flip sign convention
+    for i in range(5):
+        dot = float(np.dot(ours.components_[i], sk.components_[i]))
+        assert dot > 0.99, (i, dot)
+    np.testing.assert_allclose(
+        np.asarray(ours.transform(x)), sk.transform(x), atol=5e-2)

@@ -65,3 +65,22 @@ def test_reduce_2d_uses_first_party_umap(blobs3):
     xy, used = reduce_2d(x, "umap")
     assert used == "umap"
     assert xy.shape == (len(x), 2)
+
+
+def test_edge_list_covers_symmetric_graph_once(rng):
+    """The fixed-shape edge list == the COO walk of the dense fuzzy union:
+    every nonzero directed pair appears with its Wsym weight exactly once
+    (mutual-kNN reverse copies are weight-zeroed, not duplicated)."""
+    import jax.numpy as jnp
+    from vae_hmc_tpu.viz.umap import _build_w, _edge_list, _knn, _smooth_knn
+
+    x = jnp.asarray(rng.normal(0, 1, (60, 4)).astype(np.float32))
+    knn_d, knn_i = _knn(x, 8)
+    rho, sigma = _smooth_knn(knn_d)
+    W = np.asarray(_build_w(knn_d, knn_i, rho, sigma))
+    heads, tails, weights = map(np.asarray, _edge_list(jnp.asarray(W),
+                                                       knn_i))
+    assert heads.shape == (2 * 60 * 8,)
+    dense = np.zeros_like(W)
+    np.add.at(dense, (heads, tails), weights)       # duplicates would sum
+    np.testing.assert_allclose(dense, W, atol=1e-6)

@@ -63,13 +63,94 @@ def labels_from_adjacency(adj: np.ndarray, min_samples: int) -> np.ndarray:
     return labels
 
 
-def dbscan(x: np.ndarray, eps: float, min_samples: int = 5) -> np.ndarray:
+def _device_label_impl():
+    """Build (once) the jitted on-device labeling program."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def impl(adj, min_samples):
+        n = adj.shape[0]
+        adj = adj & adj.T                    # symmetry guard (distances are)
+        core = jnp.sum(adj, axis=1) >= min_samples
+        # min-core-index propagation over the core-core subgraph to fixpoint:
+        # root[i] = lowest core index reachable from core i.  Each sweep is
+        # one (N, N) masked min-reduce on device; converges in O(graph
+        # diameter) sweeps (dense eps-graphs: a handful).
+        idx = jnp.arange(n)
+        big = jnp.asarray(n, jnp.int32)
+        core_adj = adj & core[:, None] & core[None, :]
+        root0 = jnp.where(core, idx, big).astype(jnp.int32)
+
+        def cond(carry):
+            root, changed = carry
+            return changed
+
+        def sweep(carry):
+            root, _ = carry
+            nbr_min = jnp.min(jnp.where(core_adj, root[None, :], big), axis=1)
+            new = jnp.minimum(root, nbr_min)
+            return new, jnp.any(new != root)
+
+        root, _ = jax.lax.while_loop(cond, sweep,
+                                     (root0, jnp.asarray(True)))
+        # cluster id = rank of the component's root among distinct roots
+        # (sklearn's seed order: components numbered by lowest core index)
+        is_root = core & (root == idx)
+        rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1     # inclusive - 1
+        safe_root = jnp.clip(root, 0, n - 1)
+        core_label = rank[safe_root]
+        # border points: min cluster id among core neighbors (the lowest-id
+        # cluster reaches a border point first in sklearn's expansion order)
+        nbr_core_label = jnp.where(adj & core[None, :],
+                                   core_label[None, :], big)
+        border_label = jnp.min(nbr_core_label, axis=1)
+        labels = jnp.where(
+            core, core_label,
+            jnp.where(border_label < big, border_label, -1))
+        return labels.astype(jnp.int32)
+
+    return impl
+
+
+_DEVICE_LABEL = None
+
+
+def labels_from_adjacency_device(adj, min_samples: int) -> np.ndarray:
+    """sklearn-exact DBSCAN labels computed ON DEVICE from a device boolean
+    adjacency matrix; only the (N,) label vector is fetched (the host path
+    costs a 34 MB distance-matrix readback per representation on this
+    tunnel).  Parity with labels_from_adjacency is tested directly."""
+    global _DEVICE_LABEL
+    if _DEVICE_LABEL is None:
+        _DEVICE_LABEL = _device_label_impl()
+    return np.asarray(_DEVICE_LABEL(adj, min_samples), dtype=np.int64)
+
+
+def dbscan_from_dists_device(d, eps: float, min_samples: int) -> np.ndarray:
+    """DBSCAN from a device (N, N) euclidean distance matrix, no readback."""
+    return labels_from_adjacency_device(d <= eps, min_samples)
+
+
+def dbscan(x, eps: float, min_samples: int = 5) -> np.ndarray:
+    import jax
+    if isinstance(x, jax.Array):
+        import jax.numpy as jnp
+        d2 = pairwise_sq_dists(x.reshape(x.shape[0], -1))
+        return labels_from_adjacency_device(d2 <= eps * eps, min_samples)
     return labels_from_adjacency(neighbor_graph(x, eps), min_samples)
 
 
-def dbscan_sweep(x: np.ndarray, eps_values, min_samples_values):
+def dbscan_sweep(x, eps_values, min_samples_values):
     """Grid over (eps, min_samples) sharing ONE device distance matrix —
-    the reference recomputes distances per cell (16:219-242)."""
+    the reference recomputes distances per cell (16:219-242).  Device inputs
+    never leave the device (labels excepted)."""
+    import jax
+    if isinstance(x, jax.Array):
+        d2 = pairwise_sq_dists(x.reshape(x.shape[0], -1))
+        return {(float(eps), int(ms)):
+                labels_from_adjacency_device(d2 <= eps * eps, ms)
+                for eps in eps_values for ms in min_samples_values}
     d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)))
     out = {}
     for eps in eps_values:

@@ -33,9 +33,10 @@ class RepData:
     through both):
       - `dists_dev`: the (N, N) device distance matrix — silhouettes and the
         DBSCAN epsilon-graphs read it in place;
-      - `dists`: its host copy, fetched lazily on first use (only the ward
-        NN-chain and the host DBSCAN labeling need host distances; a v5e-
-        attached host pays one ~34 MB readback per representation, not two);
+      - `dists`: its host copy — only the ward NN-chain needs host
+        distances (DBSCAN and silhouettes are fully on device), and the one
+        ~34 MB readback per representation is prefetched on a background
+        thread at build time so it overlaps the device sweep cells;
       - `ward_merges()`: the (N-1, 4) ward linkage, computed once and cut at
         every k (the reference re-runs the full O(N^2) linkage per k,
         scripts/16:201)."""
@@ -49,6 +50,7 @@ class RepData:
     _x_host: Optional[np.ndarray] = None
     _dists_host: Optional[np.ndarray] = None
     _merges: Optional[np.ndarray] = None
+    _dists_thread: object = None
 
     @classmethod
     def build(cls, name: str, x,
@@ -63,8 +65,21 @@ class RepData:
             x_dev = x_dev.reshape(x_dev.shape[0], -1)
         xc = x_dev - jnp.mean(x_dev, axis=0, keepdims=True)
         d_dev = jnp.sqrt(internal.pairwise_sq_dists(xc))
-        return cls(name=name, y_true=y_true, x_dev=x_dev, dists_dev=d_dev,
-                   _x_host=x_host)
+        rep = cls(name=name, y_true=y_true, x_dev=x_dev, dists_dev=d_dev,
+                  _x_host=x_host)
+        rep._start_dists_prefetch()
+        return rep
+
+    def _start_dists_prefetch(self) -> None:
+        """Fetch the host distance copy (ward's input) on a background
+        thread so the ~34 MB readback overlaps the device sweep cells."""
+        import threading
+
+        def fetch():
+            self._dists_host = np.asarray(self.dists_dev)
+
+        self._dists_thread = threading.Thread(target=fetch, daemon=True)
+        self._dists_thread.start()
 
     @property
     def n(self) -> int:
@@ -79,7 +94,10 @@ class RepData:
 
     @property
     def dists(self) -> np.ndarray:
-        """(N, N) euclidean distances on host (one lazy device fetch)."""
+        """(N, N) euclidean distances on host (one prefetched device fetch)."""
+        if self._dists_thread is not None:
+            self._dists_thread.join()
+            self._dists_thread = None
         if self._dists_host is None:
             self._dists_host = np.asarray(self.dists_dev)
         return self._dists_host
@@ -163,10 +181,12 @@ def heuristic_score(row: Dict) -> float:
     return float(sil) + float(ari) - 0.2 * float(dbi)
 
 
-def _dbscan_labels_from_dists(d: np.ndarray, eps: float,
+def _dbscan_labels_from_dists(rep: RepData, eps: float,
                               min_samples: int) -> np.ndarray:
-    from vae_hmc_tpu.cluster.dbscan import labels_from_adjacency
-    return labels_from_adjacency(d <= eps, min_samples)
+    # labeling runs on device from the cached device distance matrix; only
+    # the (N,) labels are fetched (was: a host 34 MB distance readback)
+    from vae_hmc_tpu.cluster.dbscan import dbscan_from_dists_device
+    return dbscan_from_dists_device(rep.dists_dev, eps, min_samples)
 
 
 def cluster_suite(rep: RepData, n_clusters: int,
@@ -184,7 +204,7 @@ def cluster_suite(rep: RepData, n_clusters: int,
     rows.append(evaluate_cell(rep, "agglomerative", f"k={n_clusters},ward",
                               ag, with_noise_frac=False))
     for eps in dbscan_eps:
-        yhat = _dbscan_labels_from_dists(rep.dists, eps, dbscan_min_samples)
+        yhat = _dbscan_labels_from_dists(rep, eps, dbscan_min_samples)
         rows.append(evaluate_cell(
             rep, "dbscan", f"eps={eps},min={dbscan_min_samples}", yhat,
             with_noise_frac=False))
@@ -211,7 +231,7 @@ def full_sweep(rep: RepData,
                                   with_noise_frac=True))
     for eps in eps_values:
         for ms in min_samples_values:
-            yhat = _dbscan_labels_from_dists(rep.dists, eps, ms)
+            yhat = _dbscan_labels_from_dists(rep, eps, ms)
             rows.append(evaluate_cell(rep, "dbscan", f"eps={eps},min={ms}",
                                       yhat, with_noise_frac=True))
     return rows

@@ -35,10 +35,16 @@ def reduce_2d(x: np.ndarray, method: str = "umap",
               tsne_cfg: TsneConfig = TsneConfig(),
               umap_cfg: UmapConfig = UmapConfig(),
               pre_pca_dim: Optional[int] = None) -> Tuple[np.ndarray, str]:
-    """-> (xy (N, 2), method_actually_used)."""
-    x = np.asarray(x, dtype=np.float32)
+    """-> (xy (N, 2), method_actually_used).
+
+    Device inputs stay on device through PCA/UMAP/t-SNE — all three are
+    device programs, so converting here would only pay a host readback
+    (966 MB for the mel-flat representation on this tunnel)."""
+    import jax
+    if not isinstance(x, jax.Array):
+        x = np.asarray(x, dtype=np.float32)
     if pre_pca_dim and x.shape[1] > pre_pca_dim:
-        x = np.asarray(PCA(pre_pca_dim).fit_transform(x))
+        x = PCA(pre_pca_dim).fit_transform(x)
     method = method.lower()
     if method == "pca":
         return np.asarray(PCA(2).fit_transform(x)), "pca"
@@ -47,7 +53,7 @@ def reduce_2d(x: np.ndarray, method: str = "umap",
             reducer = _umap_learn.UMAP(n_neighbors=umap_cfg.n_neighbors,
                                        min_dist=umap_cfg.min_dist,
                                        random_state=umap_cfg.seed)
-            return np.asarray(reducer.fit_transform(x)), "umap"
+            return np.asarray(reducer.fit_transform(np.asarray(x))), "umap"
         from vae_hmc_tpu.viz.umap import umap_2d
         return umap_2d(x, n_neighbors=umap_cfg.n_neighbors,
                        min_dist=umap_cfg.min_dist,

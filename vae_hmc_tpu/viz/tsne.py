@@ -101,8 +101,11 @@ def _tsne_optimize(p_cond, y0, learning_rate: float, n_iter: int,
 
 def tsne(x: np.ndarray, cfg: TsneConfig = TsneConfig()) -> np.ndarray:
     """(N, d) -> (N, 2) embedding."""
-    x = np.asarray(x, dtype=np.float32)
-    n = x.shape[0]
+    # device inputs stay on device: every heavy step (pairwise distances,
+    # PCA init, the optimize loop) is a device program, so a host conversion
+    # here would be a pure readback tax (966 MB for the mel-flat rep)
+    x = x if isinstance(x, jax.Array) else np.asarray(x, dtype=np.float32)
+    n = int(x.shape[0])
     perplexity = min(cfg.perplexity, max(2.0, (n - 1) / 3.0))
     d2 = pairwise_sq_dists(jnp.asarray(x))
     p_cond = _binary_search_perplexity(d2, perplexity)

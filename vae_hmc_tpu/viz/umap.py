@@ -107,18 +107,47 @@ def fuzzy_simplicial_set(x: jax.Array, n_neighbors: int):
     """-> dense (N, N) symmetrized membership matrix W."""
     knn_d, knn_i = _knn(x, n_neighbors)
     rho, sigma = _smooth_knn(knn_d)
+    return _build_w(knn_d, knn_i, rho, sigma)
 
-    @jax.jit
-    def build(knn_d, knn_i, rho, sigma):
-        n = knn_d.shape[0]
-        w = jnp.exp(-jnp.maximum(knn_d - rho[:, None], 0.0)
-                    / sigma[:, None])
-        W = jnp.zeros((n, n), jnp.float32)
-        rows = jnp.repeat(jnp.arange(n), knn_d.shape[1])
-        W = W.at[rows, knn_i.reshape(-1)].set(w.reshape(-1))
-        return W + W.T - W * W.T          # fuzzy union
 
-    return build(knn_d, knn_i, rho, sigma)
+@jax.jit
+def _build_w(knn_d, knn_i, rho, sigma):
+    n = knn_d.shape[0]
+    w = jnp.exp(-jnp.maximum(knn_d - rho[:, None], 0.0)
+                / sigma[:, None])
+    W = jnp.zeros((n, n), jnp.float32)
+    rows = jnp.repeat(jnp.arange(n), knn_d.shape[1])
+    W = W.at[rows, knn_i.reshape(-1)].set(w.reshape(-1))
+    return W + W.T - W * W.T          # fuzzy union
+
+
+@jax.jit
+def _edge_list(Wsym, knn_i):
+    """Fixed-shape directed edge list covering every nonzero of Wsym.
+
+    The nonzeros of the fuzzy union live exactly on (i, knn(i)) pairs and
+    their transposes, so 2*N*k (head, tail, weight) triplets cover the
+    graph with STATIC shapes — no host nonzero() (which costs a ~34 MB
+    device fetch of the dense W at N=3k on this tunnel) and no
+    per-input-recompilation of the optimizer program.  Mutual-kNN pairs
+    would appear twice in the same direction (once direct from the head,
+    once as the reverse of the tail's own direct edge); the reverse copy is
+    weight-zeroed so each directed edge is counted exactly once, matching
+    the CSR walk of the symmetric matrix in umap-learn.
+    """
+    n, k = knn_i.shape
+    rows = jnp.repeat(jnp.arange(n), k)                   # (N*k,)
+    cols = knn_i.reshape(-1)
+    w_dir = Wsym[rows, cols]
+    # mutual[i*k+j]: is i itself in knn(knn_i[i, j])?
+    back = knn_i[knn_i]                                   # (N, k, k)
+    mutual = jnp.any(back == jnp.arange(n)[:, None, None],
+                     axis=-1).reshape(-1)
+    w_rev = jnp.where(mutual, 0.0, w_dir)
+    heads = jnp.concatenate([rows, cols])
+    tails = jnp.concatenate([cols, rows])
+    weights = jnp.concatenate([w_dir, w_rev])
+    return heads, tails, weights
 
 
 @jax.jit
@@ -184,22 +213,27 @@ def umap_2d(x, n_neighbors: int = 15, min_dist: float = 0.1,
     n_neighbors = min(n_neighbors, n - 1)
     if n_epochs <= 0:
         n_epochs = 500 if n <= 10000 else 200    # umap-learn default
-    W = fuzzy_simplicial_set(x, n_neighbors)
-    Wh = np.array(W)                      # writable host copy
-    # umap drops edges too weak to be sampled even once
-    w_max = Wh.max()
-    Wh[Wh < w_max / n_epochs] = 0.0
-    heads, tails = np.nonzero(Wh)
-    weights = Wh[heads, tails]
-    eps_per_sample = w_max / weights          # umap make_epochs_per_sample
+    knn_d, knn_i = _knn(x, n_neighbors)
+    rho, sigma = _smooth_knn(knn_d)
+    W = _build_w(knn_d, knn_i, rho, sigma)
+    heads, tails, weights = _edge_list(W, knn_i)
+    eps_per_sample = _eps_per_sample(weights, int(n_epochs))
     y0 = _spectral_init(W)
     key = jax.random.PRNGKey(seed)
     # small init jitter (umap adds 1e-4-scale noise to spectral init)
     y0 = y0 + 1e-4 * jax.random.normal(key, y0.shape)
-    y = _optimize(y0.astype(jnp.float32),
-                  jnp.asarray(heads), jnp.asarray(tails),
-                  jnp.asarray(eps_per_sample, jnp.float32),
+    y = _optimize(y0.astype(jnp.float32), heads, tails, eps_per_sample,
                   key, *find_ab_params(1.0, min_dist),
                   n_epochs=int(n_epochs), neg_rate=int(negative_sample_rate),
                   lr=float(learning_rate))
     return np.asarray(y, dtype=np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_epochs",))
+def _eps_per_sample(weights, n_epochs: int):
+    """umap make_epochs_per_sample: edges too weak to be sampled even once
+    (w < w_max/n_epochs, incl. the deduped zero-weight copies) never fire —
+    +inf keeps them permanently inactive in the optimizer."""
+    w_max = jnp.max(weights)
+    active = weights >= w_max / n_epochs
+    return jnp.where(active, w_max / jnp.maximum(weights, 1e-30), jnp.inf)
