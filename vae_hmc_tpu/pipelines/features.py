@@ -120,7 +120,7 @@ def build_logmel(
     of the medium tier.
     """
     n = len(source)
-    feats, ids, rows = [], [], []
+    feats, finite_parts, all_idx, all_errors = [], [], [], []
     for idx, payload in prefetch_batches(
             lambda ix: source.waveforms(ix, cfg.duration_s),
             batched_indices(n, device_batch)):
@@ -128,37 +128,41 @@ def build_logmel(
         x = mel_ops.logmel_batch(jnp.asarray(batch), cfg)
         if cfg.per_sample_standardize:
             x = mel_ops.per_sample_standardize(x)
-        finite = np.asarray(jnp.all(jnp.isfinite(x), axis=(1, 2)))
-        if not hbm_resident:
-            x = np.asarray(x)
-        ok_rows = []
-        for r, i in enumerate(idx):
-            tid = int(source.track_ids[i])
-            path = getattr(source, "paths", None)
-            pstr = str(path[i]) if path is not None else f"synthetic://{tid}"
-            if errors[r] is not None:
-                if strict:
-                    raise RuntimeError(f"track {tid}: {errors[r]}")
-                rows.append((tid, pstr, "error", errors[r]))
-                continue
-            if not finite[r]:
-                rows.append((tid, pstr, "error", "non_finite_features"))
-                continue
-            ok_rows.append(r)
-            ids.append(tid)
-            rows.append((tid, pstr, "ok", ""))
-        if not ok_rows:
-            continue
-        if len(ok_rows) == len(idx):
-            feats.append(x)                      # common case: whole batch ok
-        elif hbm_resident:
-            feats.append(jnp.take(x, jnp.asarray(ok_rows), axis=0))
-        else:
-            feats.append(x[np.asarray(ok_rows)])
+        # finite flags stay ON DEVICE until after the loop: fetching them
+        # per batch forces a blocking host round-trip per dispatch (~46
+        # pipeline syncs for the 3k corpus on a tunneled dev host)
+        finite_parts.append(jnp.all(jnp.isfinite(x), axis=(1, 2)))
+        feats.append(x if hbm_resident else np.asarray(x))
+        all_idx.extend(idx)
+        all_errors.extend(errors)
     if not feats:
+        raise RuntimeError("no tracks produced features")
+    finite = np.asarray(jnp.concatenate(finite_parts))       # ONE small fetch
+    ids, rows, ok_rows = [], [], []
+    paths = getattr(source, "paths", None)
+    for r, i in enumerate(all_idx):
+        tid = int(source.track_ids[i])
+        pstr = str(paths[i]) if paths is not None else f"synthetic://{tid}"
+        if all_errors[r] is not None:
+            if strict:
+                raise RuntimeError(f"track {tid}: {all_errors[r]}")
+            rows.append((tid, pstr, "error", all_errors[r]))
+            continue
+        if not finite[r]:
+            rows.append((tid, pstr, "error", "non_finite_features"))
+            continue
+        ok_rows.append(r)
+        ids.append(tid)
+        rows.append((tid, pstr, "ok", ""))
+    if not ok_rows:
         raise RuntimeError("no tracks produced features")
     if hbm_resident:
         X = jnp.concatenate(feats, axis=0)                   # (N, mels, T)
+        if len(ok_rows) != len(all_idx):
+            X = jnp.take(X, jnp.asarray(ok_rows), axis=0)
     else:
-        X = np.concatenate(feats, axis=0)[:, None, :, :].astype(np.float32)
+        X = np.concatenate(feats, axis=0)
+        if len(ok_rows) != len(all_idx):
+            X = X[np.asarray(ok_rows)]
+        X = X[:, None, :, :].astype(np.float32)
     return X, np.asarray(ids, dtype=np.int64), BuildReport(rows)
