@@ -117,3 +117,82 @@ def test_pca_gram_trick_matches_sklearn_wide():
         assert dot > 0.99, (i, dot)
     np.testing.assert_allclose(
         np.asarray(ours.transform(x)), sk.transform(x), atol=5e-2)
+
+
+def test_subspace_topk_matches_numpy():
+    """Block subspace iteration (the O(1)-program-size eigensolver used for
+    large-N PCA / UMAP spectral init) vs numpy's dense eigh."""
+    from vae_hmc_tpu.ops.subspace import topk_eigh
+
+    rng = np.random.default_rng(7)
+    b = rng.normal(0, 1, (600, 40)).astype(np.float32)
+    a = (b * (np.arange(40, 0, -1) ** 1.5)) @ b.T          # decaying PSD
+    w_np, v_np = np.linalg.eigh(a)
+    w_np, v_np = w_np[::-1][:4], v_np[:, ::-1][:, :4]
+    w, v = topk_eigh(np.asarray(a, np.float32), 4)
+    np.testing.assert_allclose(np.asarray(w), w_np, rtol=1e-3)
+    for i in range(4):
+        assert abs(float(np.dot(np.asarray(v)[:, i], v_np[:, i]))) > 0.999
+
+
+def test_subspace_deflated_matches_laplacian_eigh():
+    """Deflated shifted-operator iteration == bottom nontrivial eigenvectors
+    of the normalized Laplacian (the UMAP spectral-init identity)."""
+    from vae_hmc_tpu.ops.subspace import topk_eigh_deflated
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (300, 5)).astype(np.float32)
+    d2 = ((x[:, None] - x[None, :]) ** 2).sum(-1)
+    W = np.exp(-d2)
+    np.fill_diagonal(W, 0.0)
+    deg = W.sum(1)
+    inv_sqrt = 1.0 / np.sqrt(deg)
+    S = inv_sqrt[:, None] * W * inv_sqrt[None, :]
+    L = np.eye(300) - S
+    w_np, v_np = np.linalg.eigh(L)                          # ascending
+    _, v = topk_eigh_deflated(np.asarray(S + np.eye(300), np.float32),
+                              np.asarray(np.sqrt(deg), np.float32), 2)
+    v = np.asarray(v)
+    for i in range(2):
+        assert abs(float(np.dot(v[:, i], v_np[:, 1 + i]))) > 0.99, i
+
+
+def test_pca_large_n_subspace_path_matches_numpy():
+    """n > 512 with d > 2n routes PCA through _gram_topk (subspace
+    iteration); coordinates must match the exact SVD."""
+    from vae_hmc_tpu.ops.pca import PCA
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(0, 1, (600, 12)) @ rng.normal(0, 1, (12, 1300))
+         + 0.05 * rng.normal(0, 1, (600, 1300))).astype(np.float32)
+    xc = x - x.mean(0)
+    _, s_np, vt_np = np.linalg.svd(xc, full_matrices=False)
+    ours = PCA(3).fit(x)
+    np.testing.assert_allclose(ours.explained_variance_,
+                               s_np[:3] ** 2 / (600 - 1), rtol=2e-3)
+    z, z_np = np.asarray(ours.transform(x)), xc @ vt_np[:3].T
+    for i in range(3):                      # per-component up to svd_flip sign
+        c = np.dot(z[:, i], z_np[:, i]) / (
+            np.linalg.norm(z[:, i]) * np.linalg.norm(z_np[:, i]))
+        assert abs(float(c)) > 0.999, (i, c)
+
+
+def test_pca_mid_d_subspace_and_cov_paths():
+    """d in (512, 2n] routes through _cov_topk; d <= 512 with d <= 2n
+    through _svd_via_cov.  Both must match sklearn."""
+    from sklearn.decomposition import PCA as SkPCA
+
+    from vae_hmc_tpu.ops.pca import PCA
+
+    rng = np.random.default_rng(9)
+    for n, d in ((700, 600), (80, 50)):
+        x = (rng.normal(0, 1, (n, 8)) @ rng.normal(0, 1, (8, d))
+             + 0.05 * rng.normal(0, 1, (n, d))).astype(np.float32)
+        ours, sk = PCA(3).fit(x), SkPCA(3).fit(x)
+        np.testing.assert_allclose(ours.explained_variance_,
+                                   sk.explained_variance_, rtol=2e-3)
+        z, z_sk = np.asarray(ours.transform(x)), sk.transform(x)
+        for i in range(3):
+            c = np.dot(z[:, i], z_sk[:, i]) / (
+                np.linalg.norm(z[:, i]) * np.linalg.norm(z_sk[:, i]))
+            assert float(c) > 0.999, (n, d, i, c)   # sign conv must match too

@@ -9,11 +9,19 @@ explained-variance with ddof=1.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# Above this operand side, the unrolled TPU eigh/svd lowering produces
+# pathological executables (a (2924, 2924) eigh compiles to ~183 MB of TPU
+# code, ~138 s on a 1-core host); larger operands go through the O(1)-size
+# block-subspace-iteration programs in ops/subspace.py instead.
+_EXACT_EIGH_MAX = 512
 
 
 @jax.jit
@@ -29,9 +37,73 @@ def _svd_via_gram(xc):
     return u, s, vt
 
 
+@jax.jit
+def _svd_via_cov(xc):
+    """Economy (s, Vt) of a thin centered matrix via eigh of the (d, d)
+    scatter matrix C = xc^T xc = V S^2 V^T.  Replaces jnp.linalg.svd, whose
+    TPU lowering compiled to a ~273 MB executable at (2924, 384)."""
+    c = jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST)
+    vals, v = jnp.linalg.eigh(c)                     # ascending
+    vals, v = vals[::-1], v[:, ::-1]
+    return jnp.sqrt(jnp.maximum(vals, 0.0)), v.T
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _gram_topk(xc, k: int):
+    """Top-k (s, Vt) of a wide centered matrix: subspace iteration on the
+    (n, n) Gram matrix — O(1) program size in n (see ops/subspace.py)."""
+    from vae_hmc_tpu.ops import subspace
+    g = jnp.matmul(xc, xc.T, precision=jax.lax.Precision.HIGHEST)
+    vals, u = subspace.topk_eigh(g, k)
+    s = jnp.sqrt(jnp.maximum(vals, 0.0))
+    vt = (jnp.matmul(u.T, xc, precision=jax.lax.Precision.HIGHEST)
+          / jnp.maximum(s, 1e-12)[:, None])
+    return s, vt
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _cov_topk(xc, k: int):
+    """Top-k (s, Vt) of a thin centered matrix via subspace iteration on
+    the (d, d) scatter matrix."""
+    from vae_hmc_tpu.ops import subspace
+    c = jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST)
+    vals, v = subspace.topk_eigh(c, k)
+    return jnp.sqrt(jnp.maximum(vals, 0.0)), v.T
+
+
+@partial(jax.jit, static_argnames=("k", "mode"))
+def _fit_impl(x, k: int, mode: str):
+    """Whole PCA fit as ONE program (the dev tunnel charges ~0.5-1 s per
+    eager dispatch, so the mean/flip/variance epilogue must not be ~10
+    separate dispatches): -> (mean (d,), components (k, d), var (k,),
+    var_ratio (k,))."""
+    n = x.shape[0]
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    if mode == "gram_exact":
+        _, s, vt = _svd_via_gram(xc)
+    elif mode == "gram_topk":
+        s, vt = _gram_topk(xc, k)
+    elif mode == "cov_exact":
+        s, vt = _svd_via_cov(xc)
+    else:
+        s, vt = _cov_topk(xc, k)
+    s, vt = s[:k], vt[:k]
+    # svd_flip, Vt-based (sklearn>=1.5 PCA convention,
+    # u_based_decision=False): the max-|loading| entry of each component
+    # row is made positive
+    max_idx = jnp.argmax(jnp.abs(vt), axis=1)
+    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_idx])
+    vt = vt * signs[:, None]
+    var = (s ** 2) / (n - 1)
+    total_var = jnp.sum(jnp.var(xc, axis=0, ddof=1))
+    return mean, vt, var, var / total_var
+
+
 @dataclass
 class PCA:
     n_components: int
+    # device (or host) arrays; np.asarray() them for host consumers
     mean_: Optional[np.ndarray] = None
     components_: Optional[np.ndarray] = None          # (k, d)
     explained_variance_: Optional[np.ndarray] = None
@@ -40,30 +112,18 @@ class PCA:
     def fit(self, x) -> "PCA":
         x = jnp.asarray(x, dtype=jnp.float32)
         n, d = x.shape
-        mean = jnp.mean(x, axis=0)
-        xc = x - mean
+        kk = min(self.n_components, n, d)
         if d > 2 * n:
             # Gram trick: for wide data (the 82k-dim mel-flat rep) the SVD
             # of xc factors through eigh of the (n, n) Gram matrix — one MXU
-            # matmul + a small eigh instead of an O(n^2 d) SVD sweep.
-            # Identical components up to f32 roundoff (tested vs sklearn).
-            u, s, vt = _svd_via_gram(xc)
+            # matmul + an eigh of the small side instead of an O(n^2 d) SVD
+            # sweep.  Identical components up to f32 roundoff (tested vs
+            # sklearn).  Past _EXACT_EIGH_MAX, top-k subspace iteration.
+            mode = "gram_exact" if n <= _EXACT_EIGH_MAX else "gram_topk"
         else:
-            # full_matrices=False: U (n,k'), s (k',), Vt (k', d)
-            u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
-        # svd_flip, Vt-based (sklearn>=1.5 PCA convention,
-        # u_based_decision=False): the max-|loading| entry of each component
-        # row is made positive
-        max_idx = jnp.argmax(jnp.abs(vt), axis=1)
-        signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_idx])
-        vt = vt * signs[:, None]
-        var = (s ** 2) / (n - 1)
-        total_var = jnp.sum(jnp.var(xc, axis=0, ddof=1))
-        k = self.n_components
-        self.mean_ = np.asarray(mean)
-        self.components_ = np.asarray(vt[:k])
-        self.explained_variance_ = np.asarray(var[:k])
-        self.explained_variance_ratio_ = np.asarray(var[:k] / total_var)
+            mode = "cov_exact" if d <= _EXACT_EIGH_MAX else "cov_topk"
+        (self.mean_, self.components_, self.explained_variance_,
+         self.explained_variance_ratio_) = _fit_impl(x, kk, mode)
         return self
 
     def transform(self, x) -> jnp.ndarray:

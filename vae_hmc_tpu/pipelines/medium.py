@@ -441,11 +441,20 @@ def side_by_side_and_dbscan_sweep(
 
     from vae_hmc_tpu.cluster.dbscan import dbscan_sweep as db_sweep
     from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
+    from vae_hmc_tpu.core.profiling import log
     from vae_hmc_tpu.ops.pca import PCA
     from vae_hmc_tpu.viz.projections import HAVE_UMAP, reduce_2d
 
     out_dir = ws.results / "cluster_viz"
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    import time as _time
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        log(f"viz15/{name}: {now - _t[0]:.1f}s")
+        _t[0] = now
 
     def _get(name, path):
         if arrays is not None and name in arrays:
@@ -462,10 +471,14 @@ def side_by_side_and_dbscan_sweep(
     if standardize:
         x_vae, x_mel, x_lyr = (np.asarray(StandardScaler().fit_transform(v))
                                for v in (x_vae, x_mel, x_lyr))
+    _mark("load")
     y_vae = kmeans_fit_predict(x_vae, k, n_init=10, seed=seed)
+    _mark("kmeans_vae")
     y_mel = kmeans_fit_predict(x_mel, k, n_init=10, seed=seed)
+    _mark("kmeans_mel")
     from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
     y_lyr_db = dbscan_fn(x_lyr, 0.4, dbscan_min_samples)
+    _mark("dbscan_lyr")
 
     def pca2(v):
         return np.asarray(PCA(2).fit_transform(v))
@@ -474,6 +487,7 @@ def side_by_side_and_dbscan_sweep(
               (pca2(x_mel), y_mel, f"Mel(flat) + KMeans(k={k}) | PCA"),
               (pca2(x_lyr), y_lyr_db,
                "Lyrics + DBSCAN(eps=0.4) | PCA (noise likely)")]
+    _mark("pca2x3")
     if HAVE_UMAP:
         panels_u = [(reduce_2d(x_vae, "umap")[0], y_vae,
                      f"VAE latents + KMeans(k={k}) | UMAP"),
@@ -481,6 +495,7 @@ def side_by_side_and_dbscan_sweep(
                      f"Mel(flat) + KMeans(k={k}) | UMAP"),
                     (reduce_2d(x_lyr, "umap")[0], y_lyr_db,
                      "Lyrics + DBSCAN(eps=0.4) | UMAP (noise likely)")]
+        _mark("umap_x3")
         fig, axes = plt.subplots(3, 2, figsize=(12, 16))
         for i in range(3):
             for j, (xy, y, t) in enumerate((panels[i], panels_u[i])):
@@ -495,8 +510,10 @@ def side_by_side_and_dbscan_sweep(
     side_png = out_dir / f"side_by_side_{tag}.png"
     fig.savefig(side_png, dpi=220)
     plt.close(fig)
+    _mark("figure")
 
     labels_by_cell = db_sweep(x_lyr, eps_list, [dbscan_min_samples])
+    _mark("dbscan_sweep")
     n_clusters_list, n_noise_list = [], []
     for eps in eps_list:
         y = labels_by_cell[(float(eps), dbscan_min_samples)]

@@ -153,12 +153,24 @@ def _edge_list(Wsym, knn_i):
 @jax.jit
 def _spectral_init(W):
     """Leading nontrivial eigenvectors of the normalized Laplacian, scaled
-    to the +-10 box umap-learn uses."""
+    to the +-10 box umap-learn uses.
+
+    Small graphs use the dense eigh directly; past 512 nodes the TPU eigh
+    lowering's executable grows pathologically (~183 MB of TPU code at
+    n=2924 — see ops/subspace.py), so the bottom nontrivial eigenvectors
+    are computed as the DEFLATED top eigenvectors of the shifted operator
+    A = 2I - L = I + D^{-1/2} W D^{-1/2} (PSD, spectrum in [0, 2]), with
+    the known trivial eigenvector D^{1/2}·1 projected out each step."""
+    n = W.shape[0]
     d = jnp.maximum(jnp.sum(W, axis=1), 1e-8)
     inv_sqrt = 1.0 / jnp.sqrt(d)
-    L = jnp.eye(W.shape[0]) - inv_sqrt[:, None] * W * inv_sqrt[None, :]
-    vals, vecs = jnp.linalg.eigh(L)
-    y0 = vecs[:, 1:3]
+    S = inv_sqrt[:, None] * W * inv_sqrt[None, :]
+    if n <= 512:
+        vals, vecs = jnp.linalg.eigh(jnp.eye(n) - S)
+        y0 = vecs[:, 1:3]
+    else:
+        from vae_hmc_tpu.ops.subspace import topk_eigh_deflated
+        _, y0 = topk_eigh_deflated(S + jnp.eye(n), jnp.sqrt(d), 2)
     scale = 10.0 / jnp.maximum(jnp.max(jnp.abs(y0)), 1e-8)
     return y0 * scale
 
