@@ -45,7 +45,7 @@ def main():
                                device=dev.platform == "tpu")
 
     t0 = time.perf_counter()
-    a = build_audio_features(src, ws, MelConfig(), 32, write_features=False,
+    a = build_audio_features(src, ws, MelConfig(), 64, write_features=False,
                              hbm_resident=True)
     print(f"features: {time.perf_counter() - t0:.1f}s", flush=True)
 
