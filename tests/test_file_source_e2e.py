@@ -96,3 +96,19 @@ def test_file_source_lyrics_text(wav_corpus):
     source = FileSource.from_manifest(read_manifest(mp))
     assert "lyrics for track" in (source.lyrics_text(0) or "")
     assert source.lyrics_text(12) is None          # corrupt row has no text
+
+
+def test_build_logmel_strict_fails_fast_and_nonstrict_skips(wav_corpus):
+    """--strict raises on the first decode error (host-known, before any
+    further batches run); non-strict skips-and-records.  Gates the
+    features.BuildReport failure-detection contract (SURVEY.md §5)."""
+    from vae_hmc_tpu.core.config import MelConfig
+
+    root, mp = wav_corpus
+    source = FileSource.from_manifest(read_manifest(mp))
+    cfg = MelConfig(duration_s=1.0)
+    with pytest.raises(RuntimeError, match="999"):
+        features.build_logmel(source, cfg, device_batch=8, strict=True)
+    x, ids, report = features.build_logmel(source, cfg, device_batch=8)
+    assert x.shape[0] == 12 and 999 not in ids.tolist()
+    assert {r[0]: r[2] for r in report.rows}[999] == "error"

@@ -77,7 +77,8 @@ def main():
     print(json.dumps({"medium_tier_seconds": total,
                       "north_star_seconds": north, "n_tracks": args.n,
                       "stages": stages,
-                      "under_300s": north < 300.0}))
+                      "north_star_under_300s": north < 300.0,
+                      "under_300s": total < 300.0}))
 
 
 if __name__ == "__main__":

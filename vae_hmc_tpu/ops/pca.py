@@ -113,15 +113,16 @@ class PCA:
         x = jnp.asarray(x, dtype=jnp.float32)
         n, d = x.shape
         kk = min(self.n_components, n, d)
-        if d > 2 * n:
-            # Gram trick: for wide data (the 82k-dim mel-flat rep) the SVD
-            # of xc factors through eigh of the (n, n) Gram matrix — one MXU
-            # matmul + an eigh of the small side instead of an O(n^2 d) SVD
-            # sweep.  Identical components up to f32 roundoff (tested vs
-            # sklearn).  Past _EXACT_EIGH_MAX, top-k subspace iteration.
-            mode = "gram_exact" if n <= _EXACT_EIGH_MAX else "gram_topk"
-        else:
-            mode = "cov_exact" if d <= _EXACT_EIGH_MAX else "cov_topk"
+        # Factor on the SMALLER side (the (n, n) Gram matrix for wide data
+        # like the 82k-dim mel-flat rep, the (d, d) scatter matrix for thin
+        # data) — one MXU matmul + an eigh of the small side instead of an
+        # O(n^2 d) SVD sweep.  Identical components up to f32 roundoff
+        # (tested vs sklearn).  Past _EXACT_EIGH_MAX, exact eigh gives way
+        # to top-k subspace iteration (the unrolled TPU eigh executable
+        # grows ~quadratically with the operand side).
+        side = "gram" if n <= d else "cov"
+        exact = min(n, d) <= _EXACT_EIGH_MAX
+        mode = f"{side}_{'exact' if exact else 'topk'}"
         (self.mean_, self.components_, self.explained_variance_,
          self.explained_variance_ratio_) = _fit_impl(x, kk, mode)
         return self

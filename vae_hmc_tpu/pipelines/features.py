@@ -120,49 +120,65 @@ def build_logmel(
     of the medium tier.
     """
     n = len(source)
-    feats, finite_parts, all_idx, all_errors = [], [], [], []
+    paths = getattr(source, "paths", None)
+
+    def _pstr(i):
+        return (str(paths[i]) if paths is not None
+                else f"synthetic://{int(source.track_ids[i])}")
+
+    feats, finite_parts, meta = [], [], []   # meta: (tid, pstr, err-or-None)
     for idx, payload in prefetch_batches(
             lambda ix: source.waveforms(ix, cfg.duration_s),
             batched_indices(n, device_batch)):
         batch, lengths, errors = payload
+        # decode errors are host-known from the prefetcher: fail fast under
+        # strict, and drop those rows per batch (cheap; keeps error rows out
+        # of the retained tensor so the final non-finite filter is a no-op
+        # copy in the common all-finite case)
+        if strict:
+            for r, e in enumerate(errors):
+                if e is not None:
+                    raise RuntimeError(
+                        f"track {int(source.track_ids[idx[r]])}: {e}")
         x = mel_ops.logmel_batch(jnp.asarray(batch), cfg)
         if cfg.per_sample_standardize:
             x = mel_ops.per_sample_standardize(x)
-        # finite flags stay ON DEVICE until after the loop: fetching them
-        # per batch forces a blocking host round-trip per dispatch (~46
-        # pipeline syncs for the 3k corpus on a tunneled dev host)
-        finite_parts.append(jnp.all(jnp.isfinite(x), axis=(1, 2)))
-        feats.append(x if hbm_resident else np.asarray(x))
-        all_idx.extend(idx)
-        all_errors.extend(errors)
+        keep = [r for r, e in enumerate(errors) if e is None]
+        if len(keep) != len(idx):
+            x = jnp.take(x, jnp.asarray(keep), axis=0)
+        if len(keep):
+            # finite flags stay ON DEVICE until after the loop: fetching
+            # them per batch forces a blocking host round-trip per dispatch
+            # (~46 pipeline syncs for the 3k corpus on a tunneled dev host)
+            finite_parts.append(jnp.all(jnp.isfinite(x), axis=(1, 2)))
+            feats.append(x if hbm_resident else np.asarray(x))
+        meta.extend((int(source.track_ids[i]), _pstr(i), errors[r])
+                    for r, i in enumerate(idx))
     if not feats:
         raise RuntimeError("no tracks produced features")
     finite = np.asarray(jnp.concatenate(finite_parts))       # ONE small fetch
-    ids, rows, ok_rows = [], [], []
-    paths = getattr(source, "paths", None)
-    for r, i in enumerate(all_idx):
-        tid = int(source.track_ids[i])
-        pstr = str(paths[i]) if paths is not None else f"synthetic://{tid}"
-        if all_errors[r] is not None:
-            if strict:
-                raise RuntimeError(f"track {tid}: {all_errors[r]}")
-            rows.append((tid, pstr, "error", all_errors[r]))
+    ids, rows, keep_pos = [], [], []
+    p = 0                        # position in the concatenated non-error rows
+    for tid, pstr, err in meta:
+        if err is not None:
+            rows.append((tid, pstr, "error", err))
             continue
-        if not finite[r]:
+        if not finite[p]:
             rows.append((tid, pstr, "error", "non_finite_features"))
-            continue
-        ok_rows.append(r)
-        ids.append(tid)
-        rows.append((tid, pstr, "ok", ""))
-    if not ok_rows:
+        else:
+            keep_pos.append(p)
+            ids.append(tid)
+            rows.append((tid, pstr, "ok", ""))
+        p += 1
+    if not keep_pos:
         raise RuntimeError("no tracks produced features")
     if hbm_resident:
         X = jnp.concatenate(feats, axis=0)                   # (N, mels, T)
-        if len(ok_rows) != len(all_idx):
-            X = jnp.take(X, jnp.asarray(ok_rows), axis=0)
+        if len(keep_pos) != p:
+            X = jnp.take(X, jnp.asarray(keep_pos), axis=0)
     else:
         X = np.concatenate(feats, axis=0)
-        if len(ok_rows) != len(all_idx):
-            X = X[np.asarray(ok_rows)]
+        if len(keep_pos) != p:
+            X = X[np.asarray(keep_pos)]
         X = X[:, None, :, :].astype(np.float32)
     return X, np.asarray(ids, dtype=np.int64), BuildReport(rows)
