@@ -132,9 +132,14 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
     out_dir = ws.results / "vae_conv_mm_medium"
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    from vae_hmc_tpu.core.profiling import log as _vlog
+    import time as _time
+    _t0 = _time.perf_counter()
     x_nhwc = to_nhwc(x)          # device arrays relayout on device
     model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
                                                  verbose=verbose, mesh=mesh)
+    _vlog(f"train12/fit+export: {_time.perf_counter() - _t0:.1f}s")
+    _t0 = _time.perf_counter()
     # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
     artifacts.save_csv_rows(
         out_dir / "train_log.csv", ["epoch", "loss", "recon", "kl"],
@@ -150,6 +155,8 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                                       if x.ndim == 3 else list(x.shape))})
     np.save(ws.data / "vae_mm_latents_mu.npy", mu.astype(np.float32))
     np.save(ws.data / "vae_mm_latents_track_ids.npy", a_ids)
+    _vlog(f"train12/artifacts (ckpt fetch + saves): "
+          f"{_time.perf_counter() - _t0:.1f}s")
     return {"latents": mu, "ids": a_ids, "history": res.history,
             "params": res.params, "lyrics_mask": mask}
 
