@@ -71,12 +71,18 @@ def main() -> None:
         from vae_hmc_tpu.ops.pallas.logmel_kernel import (
             logmel_standardized_pallas)
         key = jax.random.PRNGKey(0)
-        xs = jax.random.normal(key, (512, 2048), jnp.float32)
+        # generate ON DEVICE via jit: eager jax.random.normal materializes
+        # host-side on this platform and uploads through the tunnel
+        # (CLAUDE.md env gotchas) — 15 MB of smoke inputs once took 25 min
+        # under congestion
+        xs = jax.jit(lambda k: jax.random.normal(k, (512, 2048),
+                                                 jnp.float32))(key)
         d_p = pairwise_dists_pallas(xs)
         d_x = jnp.sqrt(pairwise_sq_dists(xs))
         dist_err = float(jnp.max(jnp.abs(d_p - d_x)))
         mcfg = MelConfig()
-        wv = 0.1 * jax.random.normal(key, (8, mcfg.n_samples), jnp.float32)
+        wv = jax.jit(lambda k: 0.1 * jax.random.normal(
+            k, (8, mcfg.n_samples), jnp.float32))(key)
         m_p = logmel_standardized_pallas(wv, mcfg)
         m_x = mel_ops.per_sample_standardize(mel_ops.logmel_batch(wv, mcfg))
         mel_err = float(jnp.max(jnp.abs(m_p - m_x)))
