@@ -27,8 +27,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +36,9 @@ import numpy as np
 # static-shape programs, so every run after the first skips compilation
 # (the dominant cost on a cold chip: the fused train program alone is
 # minutes of XLA time, while its steady-state step is ~1 ms)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def main() -> None:

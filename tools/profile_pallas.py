@@ -12,19 +12,14 @@ Run: python tools/profile_pallas.py [--n 2924] [--d 82688] [--batch 128]
 from __future__ import annotations
 
 import argparse
-import os
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from vae_hmc_tpu.core.config import MelConfig
 from vae_hmc_tpu.metrics.internal import pairwise_sq_dists

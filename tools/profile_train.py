@@ -12,21 +12,16 @@ Run: python tools/profile_train.py [--only a,b] [--skip a,b]
 from __future__ import annotations
 
 import argparse
-import os
 import time
 from functools import partial
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from vae_hmc_tpu.core.config import ConvMMVaeConfig
 from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE

@@ -12,17 +12,12 @@ Run: VAE_HMC_VERBOSE=1 python tools/profile_viz15_real.py \
 from __future__ import annotations
 
 import argparse
-import os
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vae_hmc_jax_cache"))
-
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import numpy as np
 

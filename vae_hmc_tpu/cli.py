@@ -195,6 +195,8 @@ def main(argv=None) -> int:
     p.add_argument("--cvae", action="store_true")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--duration", type=float, default=None,
+                   help="override the 20 s MFCC window (fast drives)")
 
     p = sub.add_parser("bench", help="end-to-end benchmark (bench.py)")
     p.add_argument("--n-tracks", type=int, default=2924)
@@ -383,9 +385,14 @@ def main(argv=None) -> int:
         for r in rows:
             print(r)
     elif cmd == "run-hard":
+        from dataclasses import replace as _dc_replace
+
+        from vae_hmc_tpu.core.config import MFCC_HARD
         from vae_hmc_tpu.pipelines import hard
+        mfcc_cfg = (MFCC_HARD if args.duration is None
+                    else _dc_replace(MFCC_HARD, duration_s=args.duration))
         out = hard.run_hard_pipeline(
-            _source(args), ws,
+            _source(args), ws, mfcc_cfg=mfcc_cfg,
             vae_cfg=HardVaeConfig(beta=args.beta, use_cvae=args.cvae,
                                   cond_genre=args.cvae, epochs=args.epochs,
                                   seed=args.seed),

@@ -37,13 +37,24 @@ def load_audio(path: Path, target_sr: int = 22050,
             return load_wav_native(path, target_sr, max_duration_s)
         except Exception:
             return _load_wav_python(path, target_sr, max_duration_s)
+    native_err: Optional[Exception] = None
     if suffix in (".mp3", ".mp2", ".mp1"):
         try:
             from vae_hmc_tpu.io.native import load_mp3_native
             return load_mp3_native(path, target_sr, max_duration_s)
+        except IOError as e:
+            # the FILE failed to decode: let ffmpeg give a second opinion,
+            # but if that can't run either, surface THIS error — not a
+            # misleading "ffmpeg not found"
+            native_err = e
         except Exception:
-            pass  # no libmpg123 / corrupt stream -> ffmpeg pipe below
-    return _load_via_ffmpeg(path, target_sr, max_duration_s)
+            pass  # no libmpg123 / native build unavailable -> ffmpeg below
+    try:
+        return _load_via_ffmpeg(path, target_sr, max_duration_s)
+    except IOError as fe:
+        if native_err is not None:
+            raise native_err from fe
+        raise
 
 
 def _load_wav_python(path: Path, target_sr: int,

@@ -29,6 +29,13 @@ def _build() -> None:
         raise RuntimeError(f"native build failed:\n{proc.stderr}")
 
 
+class NativeDecoderUnavailable(RuntimeError):
+    """The native layer exists but the codec library (libmpg123) is not on
+    this host — callers should fall back to another decoder.  Distinct from
+    IOError, which means the FILE failed to decode and must not be
+    silently retried as an environment problem."""
+
+
 def get_lib() -> ctypes.CDLL:
     global _lib, _build_error
     if _lib is not None:
@@ -97,6 +104,9 @@ def load_mp3_native(path: Path, target_sr: int,
         float(max_seconds) if max_seconds else -1.0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
         ctypes.byref(n))
+    if rc == -20:
+        raise NativeDecoderUnavailable(f"libmpg123 not found on this host "
+                                       f"(rc={rc})")
     if rc != 0:
         raise IOError(f"native mp3 load failed rc={rc} for {path}")
     y = out[: n.value].copy()

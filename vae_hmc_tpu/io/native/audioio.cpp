@@ -302,7 +302,7 @@ int audioio_load_mp3(const char* path, int target_sr, double max_seconds,
     mpg->del(h);
     return -22;
   }
-  const long max_frames =
+  long max_frames =
       max_seconds > 0 ? (long)llround(max_seconds * rate) + 1 : -1;
   std::vector<float> pcm;  // interleaved
   std::vector<unsigned char> buf(1 << 16);
@@ -315,8 +315,27 @@ int audioio_load_mp3(const char* path, int target_sr, double max_seconds,
       pcm.insert(pcm.end(), p, p + done / sizeof(float));
     }
     if (rc == kMpgDone) break;
-    if (rc == kMpgNewFormat) {  // stream param change mid-file: re-query
-      if (mpg->getformat(h, &rate, &channels, &encoding) != kMpgOk) break;
+    if (rc == kMpgNewFormat) {
+      // Stream parameter change. A change BEFORE any decoded audio is the
+      // normal open sequence — re-query and continue. A change AFTER audio
+      // has been decoded (stitched/re-encoded files) would reinterpret the
+      // already-buffered interleaved PCM under the new channel count and
+      // resample it at the wrong rate: fail the decode instead (rc -24 ->
+      // the pipeline's skip-and-record policy), never return corrupt audio
+      // with rc=0.
+      long new_rate = 0;
+      int new_channels = 0;
+      if (mpg->getformat(h, &new_rate, &new_channels, &encoding) != kMpgOk)
+        break;
+      if (!pcm.empty() && (new_rate != rate || new_channels != channels)) {
+        mpg->close(h);
+        mpg->del(h);
+        return -24;
+      }
+      rate = new_rate;
+      channels = new_channels;
+      if (max_seconds > 0)
+        max_frames = (long)llround(max_seconds * rate) + 1;
       continue;
     }
     if (rc != kMpgOk) break;
