@@ -90,6 +90,24 @@ def fit(
     tails = tuple(a.shape[1:] for a in arrays)
     flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
 
+    # Single-buffer addressing boundary (measured on v5e): per-step row
+    # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
+    # (8,000x(128,646) f32 = 2.64 GB faults; 6,000 = 1.98 GB is fine).
+    # Refuse with a clear error instead of poisoning the chip; the scale-out
+    # path is a mesh (dp_fit shards rows over 'data', keeping each
+    # per-device shard under the boundary).
+    if mesh is None and jax.devices()[0].platform == "tpu":
+        import os as _os
+        big = [f"{fa.shape} = {fa.nbytes / 2**30:.2f} GiB" for fa in flats
+               if fa.nbytes >= 2**31]
+        if big and not _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
+            raise ValueError(
+                f"dataset array(s) {big} exceed the single-TPU-buffer "
+                "2^31-byte gather boundary and would crash the TPU worker; "
+                "train over a mesh (dp_fit) to shard rows across devices, "
+                "or set VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime "
+                "supports 64-bit buffer addressing")
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sharding = NamedSharding(mesh, P("data"))
