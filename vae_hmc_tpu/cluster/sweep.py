@@ -119,8 +119,12 @@ def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
         return None
     try:
         # masked device silhouette: noise points carry zero weight, the
-        # cached device distance matrix is reused across every cell
-        return internal.silhouette_from_dists_masked(rep.dists_dev, yhat)
+        # cached device distance matrix is reused across every cell.
+        # lazy: the 0-d device scalar is fetched in finalize_rows with all
+        # the other cells' scores — one transfer for the whole sweep
+        # instead of one blocking round-trip per cell
+        return internal.silhouette_from_dists_masked(rep.dists_dev, yhat,
+                                                     lazy=True)
     except Exception:
         return None
 
@@ -134,9 +138,29 @@ def _safe_dbi(rep: RepData, yhat: np.ndarray) -> Optional[float]:
         # masked device DBI: noise points carry zero weight and the cached
         # device feature matrix is reused — no per-cell host->device upload
         # of the (N, 82k) mel-flat representation (was ~1 GB per cell)
-        return internal.davies_bouldin_masked(rep.x_dev, yhat)
+        return internal.davies_bouldin_masked(rep.x_dev, yhat, lazy=True)
     except Exception:
         return None
+
+
+def finalize_rows(rows: List[Dict]) -> List[Dict]:
+    """Resolve deferred device metric scalars with ONE host transfer and
+    fill the conservative scores that depend on them."""
+    import jax
+    import jax.numpy as jnp
+    pend = [(i, key) for i, r in enumerate(rows)
+            for key in ("silhouette", "davies_bouldin")
+            if isinstance(r.get(key), jax.Array)]
+    if pend:
+        vals = np.asarray(jnp.stack([rows[i][key] for i, key in pend]))
+        for (i, key), v in zip(pend, vals):
+            rows[i][key] = float(v)
+    for r in rows:
+        if "noise_frac" in r and r.get("score") is None:
+            r["score"] = conservative_score(r["silhouette"],
+                                            r["davies_bouldin"], r["ari"],
+                                            r["noise_frac"])
+    return rows
 
 
 def evaluate_cell(rep: RepData, algo: str, params: str,
@@ -159,9 +183,14 @@ def evaluate_cell(rep: RepData, algo: str, params: str,
         "ari": ari,
     }
     if with_noise_frac:
-        noise_frac = float(n_noise) / float(len(yhat))
-        row["noise_frac"] = noise_frac
-        row["score"] = conservative_score(sil, dbi, ari, noise_frac)
+        import jax
+        row["noise_frac"] = float(n_noise) / float(len(yhat))
+        # sil/dbi may be deferred device scalars; the score is then filled
+        # by finalize_rows after the one bulk fetch
+        row["score"] = (None if any(isinstance(v, jax.Array)
+                                    for v in (sil, dbi))
+                        else conservative_score(sil, dbi, ari,
+                                                row["noise_frac"]))
     return row
 
 
@@ -208,7 +237,7 @@ def cluster_suite(rep: RepData, n_clusters: int,
         rows.append(evaluate_cell(
             rep, "dbscan", f"eps={eps},min={dbscan_min_samples}", yhat,
             with_noise_frac=False))
-    return rows
+    return finalize_rows(rows)
 
 
 def full_sweep(rep: RepData,
@@ -234,4 +263,4 @@ def full_sweep(rep: RepData,
             yhat = _dbscan_labels_from_dists(rep, eps, ms)
             rows.append(evaluate_cell(rep, "dbscan", f"eps={eps},min={ms}",
                                       yhat, with_noise_frac=True))
-    return rows
+    return finalize_rows(rows)

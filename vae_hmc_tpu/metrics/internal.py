@@ -107,9 +107,13 @@ def _silhouette_from_d_masked(d, codes, n_clusters: int):
     return jnp.sum(s) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def silhouette_from_dists_masked(d, labels) -> float:
+def silhouette_from_dists_masked(d, labels, lazy: bool = False) -> float:
     """Noise-aware silhouette from a precomputed full distance matrix:
-    label -1 points are dropped from the score without subsetting d."""
+    label -1 points are dropped from the score without subsetting d.
+
+    lazy=True returns the 0-d DEVICE scalar without blocking — sweeps
+    fetch all cells' scores in one transfer (see sweep.finalize_rows)
+    instead of one blocking round-trip per cell."""
     labels = np.asarray(labels)
     kept = labels[labels >= 0]
     classes = np.unique(kept)
@@ -118,8 +122,9 @@ def silhouette_from_dists_masked(d, labels) -> float:
         raise ValueError("need >= 2 clusters among non-noise points")
     lut = {c: i for i, c in enumerate(classes)}
     codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
-    return float(_silhouette_from_d_masked(jnp.asarray(d, jnp.float32),
-                                           jnp.asarray(codes), k))
+    out = _silhouette_from_d_masked(jnp.asarray(d, jnp.float32),
+                                    jnp.asarray(codes), k)
+    return out if lazy else float(out)
 
 
 def silhouette_from_dists(d, labels) -> float:
@@ -184,8 +189,9 @@ def _dbi_impl_masked(x, codes, n_clusters: int):
     return jnp.mean(jnp.max(r, axis=1))
 
 
-def davies_bouldin_masked(x, labels) -> float:
-    """DBI ignoring noise (label -1) without subsetting x on host."""
+def davies_bouldin_masked(x, labels, lazy: bool = False) -> float:
+    """DBI ignoring noise (label -1) without subsetting x on host.
+    lazy=True returns the 0-d device scalar (see silhouette docstring)."""
     labels = np.asarray(labels)
     kept = labels[labels >= 0]
     classes = np.unique(kept)
@@ -194,7 +200,8 @@ def davies_bouldin_masked(x, labels) -> float:
         raise ValueError("davies_bouldin requires >= 2 clusters")
     lut = {c: i for i, c in enumerate(classes)}
     codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
-    return float(_dbi_impl_masked(jnp.asarray(x), jnp.asarray(codes), k))
+    out = _dbi_impl_masked(jnp.asarray(x), jnp.asarray(codes), k)
+    return out if lazy else float(out)
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))
