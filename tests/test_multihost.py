@@ -4,6 +4,8 @@ Real DCN needs >1 process; these tests pin the parts that are
 process-count-independent (row ranges, mesh layout, single-process staging
 degradation) so the multi-host path is a config change, not new code.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +72,62 @@ def test_staged_array_feeds_sharded_compute():
     g = mh.global_batch_from_local(x, mesh, 64)
     got = jax.jit(lambda a: jnp.mean(a * a))(g)
     np.testing.assert_allclose(float(got), float(np.mean(x * x)), rtol=1e-6)
+
+
+_MH_PROC_SCRIPT = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+from vae_hmc_tpu.parallel.multihost import (init_distributed, global_mesh,
+                                            global_batch_from_local,
+                                            process_row_range)
+import jax.numpy as jnp, numpy as np
+n = init_distributed(f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert n == nproc, n
+mesh = global_mesh(model_parallel=2)
+assert mesh.devices.size == 8, mesh.devices.shape
+N = 16
+lo, hi = process_row_range(N)
+full = np.arange(N, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+ga = global_batch_from_local(full[lo:hi], mesh, N)
+total = float(jax.jit(jnp.sum)(ga))
+assert total == float(full.sum()), (total, full.sum())
+print(f"OK {pid} {lo} {hi} {total}")
+"""
+
+
+def test_two_process_distributed_mesh_and_staging(tmp_path):
+    """REAL multi-process jax.distributed: 2 CPU processes x 4 virtual
+    devices form one 8-device ('data' 4, 'model' 2) global mesh, each
+    stages only its own row block, and a jitted global reduction sees the
+    full corpus.  This is the DCN story actually executed across process
+    boundaries, not simulated in one process."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:               # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "mh_proc.py"
+    script.write_text(_MH_PROC_SCRIPT)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, str(script), str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, (rc, out, err[-2000:])
+        assert "OK" in out, (out, err[-2000:])
