@@ -112,9 +112,15 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                   save_epoch_checkpoints: bool = True,
                   verbose: bool = False,
                   audio: Optional[Dict] = None,
-                  lyrics: Optional[Dict] = None, mesh=None) -> Dict:
+                  lyrics: Optional[Dict] = None, mesh=None,
+                  defer_artifacts: bool = False) -> Dict:
     """audio/lyrics: optionally pass build_audio_features /
-    build_lyrics_embeddings results to skip re-reading from disk."""
+    build_lyrics_embeddings results to skip re-reading from disk.
+
+    defer_artifacts=True writes the checkpoint/CSV/latent files on a
+    background thread (returned as out['artifact_thread']; the pipeline
+    joins it before returning) so the ~8 MB checkpoint-param device fetch
+    overlaps the downstream cluster stages instead of blocking them."""
     if audio is not None:
         x, a_ids = audio["x"], audio["ids"]
     else:
@@ -139,26 +145,39 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
     model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
                                                  verbose=verbose, mesh=mesh)
     _vlog(f"train12/fit+export: {_time.perf_counter() - _t0:.1f}s")
-    _t0 = _time.perf_counter()
-    # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
-    artifacts.save_csv_rows(
-        out_dir / "train_log.csv", ["epoch", "loss", "recon", "kl"],
-        [[h["epoch"], f"{h['total']:.6f}", f"{h['recon']:.6f}",
-          f"{h['kl']:.6f}"] for h in res.history])
-    if save_epoch_checkpoints:
-        # the reference checkpoints every epoch (12:281-285); we keep the
-        # filename contract for the final epoch and add resumable metadata
-        artifacts.save_checkpoint(
-            out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", res.params,
-            metadata={"config": asdict(cfg), "epoch": cfg.epochs,
-                      "input_shape": ([x.shape[0], 1, x.shape[1], x.shape[2]]
-                                      if x.ndim == 3 else list(x.shape))})
-    np.save(ws.data / "vae_mm_latents_mu.npy", mu.astype(np.float32))
-    np.save(ws.data / "vae_mm_latents_track_ids.npy", a_ids)
-    _vlog(f"train12/artifacts (ckpt fetch + saves): "
-          f"{_time.perf_counter() - _t0:.1f}s")
-    return {"latents": mu, "ids": a_ids, "history": res.history,
-            "params": res.params, "lyrics_mask": mask}
+
+    def _save_artifacts():
+        _ts = _time.perf_counter()
+        # train_log.csv contract: epoch,loss,recon,kl (12:238-241)
+        artifacts.save_csv_rows(
+            out_dir / "train_log.csv", ["epoch", "loss", "recon", "kl"],
+            [[h["epoch"], f"{h['total']:.6f}", f"{h['recon']:.6f}",
+              f"{h['kl']:.6f}"] for h in res.history])
+        if save_epoch_checkpoints:
+            # the reference checkpoints every epoch (12:281-285); we keep
+            # the filename contract for the final epoch and add resumable
+            # metadata
+            artifacts.save_checkpoint(
+                out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", res.params,
+                metadata={"config": asdict(cfg), "epoch": cfg.epochs,
+                          "input_shape": ([x.shape[0], 1, x.shape[1],
+                                           x.shape[2]]
+                                          if x.ndim == 3 else list(x.shape))})
+        np.save(ws.data / "vae_mm_latents_mu.npy", mu.astype(np.float32))
+        np.save(ws.data / "vae_mm_latents_track_ids.npy", a_ids)
+        _vlog(f"train12/artifacts (ckpt fetch + saves): "
+              f"{_time.perf_counter() - _ts:.1f}s")
+
+    out = {"latents": mu, "ids": a_ids, "history": res.history,
+           "params": res.params, "lyrics_mask": mask}
+    if defer_artifacts:
+        import threading
+        t = threading.Thread(target=_save_artifacts, daemon=False)
+        t.start()
+        out["artifact_thread"] = t
+    else:
+        _save_artifacts()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -562,7 +581,10 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                              write_features=write_mel_features,
                              hbm_resident=hbm_resident)
     l = build_lyrics_embeddings(source, ws, text_cfg)
-    t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l)
+    # artifact writes (incl. the checkpoint-param device fetch) overlap the
+    # cluster stages below; joined before anything reads the files
+    t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
+                      defer_artifacts=True)
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
               "baseline_lyrics_only": (l["emb"], l["ids"])}
@@ -576,6 +598,9 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
+    thread = t.pop("artifact_thread", None)
+    if thread is not None:
+        thread.join()              # viz14 reads vae_mm_latents_mu.npy
     if with_viz:
         out["viz14"] = visualize_clustering(
             ws, ws.data / "vae_mm_latents_mu.npy",
