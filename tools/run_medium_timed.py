@@ -34,6 +34,17 @@ def main():
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+    # connection warmup OUTSIDE the timed region: the first device op of a
+    # process pays a connection-setup stall on this tunnel (minutes under
+    # congestion) that is not pipeline work
+    import time as _t
+    import numpy as _np
+
+    import jax.numpy as _jnp
+    _w = _t.perf_counter()
+    _np.asarray(_jnp.asarray(0.0) + 1.0)
+    print(f"warmup (connection setup): {_t.perf_counter() - _w:.1f}s",
+          flush=True)
     src = SyntheticSource.make(args.n, seed=42, lyrics_coverage=0.9,
                                device=dev.platform == "tpu")
     ws = Workspace(args.out)

@@ -210,6 +210,10 @@ def main(argv=None) -> int:
                    help="abs tolerance for unit-scale metrics")
     p.add_argument("--tol-rel", type=float, default=0.15,
                    help="rel tolerance for Calinski-Harabasz")
+    p.add_argument("--fast", action="store_true",
+                   help="shrunk durations/epochs: tests the harness "
+                        "machinery only — numbers are NOT comparable to "
+                        "BASELINE")
 
     args = ap.parse_args(argv)
     ws = Workspace(Path(getattr(args, "root", ".")))
@@ -410,7 +414,8 @@ def main(argv=None) -> int:
         from vae_hmc_tpu.pipelines import parity
         rows = parity.run_parity_check(
             _source(args), ws, tol_abs=args.tol_abs, tol_rel=args.tol_rel,
-            verbose=args.verbose, device_batch=args.device_batch)
+            verbose=args.verbose, device_batch=args.device_batch,
+            fast=args.fast)
         print(parity.format_table(rows))
         parity.save_report(rows, ws.results / "parity_report.csv")
         print(f"report -> {ws.results / 'parity_report.csv'}")
