@@ -141,3 +141,46 @@ def test_combine_and_clean(tmp_path):
 def test_normalize_query():
     assert acq.normalize_query("Song (Live) [Remix]") == "Song"
     assert acq.normalize_query("  a   b  ") == "a b"
+
+
+def test_default_whisper_transcriber_glue(monkeypatch, tmp_path):
+    """Exercises the real default_whisper_transcriber code path (model
+    load, load_audio, pad_or_trim, transcribe, text extraction) against a
+    faithful fake `whisper` module — the heavy model itself is the only
+    thing replaced.  Mirrors reference scripts/03:15-31 call sequence."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Model:
+        def transcribe(self, audio):
+            calls["transcribed"] = audio
+            return {"text": "  hello from whisper  "}
+
+    def _load_model(name):
+        calls["model"] = name
+        return _Model()
+
+    def _load_audio(p):
+        calls["loaded"] = p
+        return [0.0] * 10
+
+    def _pad_or_trim(a):
+        calls["padded"] = len(a)
+        return a
+
+    fake = types.ModuleType("whisper")
+    fake.load_model = _load_model
+    fake.load_audio = _load_audio
+    fake.pad_or_trim = _pad_or_trim
+    monkeypatch.setitem(sys.modules, "whisper", fake)
+
+    from vae_hmc_tpu.pipelines.acquisition import default_whisper_transcriber
+    fn = default_whisper_transcriber()
+    assert calls["model"] == "turbo"            # ref 03:15 model choice
+    wav = tmp_path / "123.wav"
+    wav.write_bytes(b"")
+    assert fn(wav) == "hello from whisper"
+    assert calls["loaded"] == str(wav)
+    assert calls["padded"] == 10
