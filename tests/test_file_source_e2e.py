@@ -120,9 +120,7 @@ def test_pipeline_features_match_oracle_chain(wav_corpus):
     MFCC-stats — and (b) a fully independent chain — python wave read ->
     tests/oracle_dsp (scipy librosa-semantics).  When a real corpus is
     mounted, real-data parity is a data swap, not a debugging session."""
-    import sys
-    sys.path.insert(0, str(Path(__file__).parent))
-    import oracle_dsp
+    from tests import oracle_dsp
 
     root, mp = wav_corpus
     source = FileSource.from_manifest(read_manifest(mp))

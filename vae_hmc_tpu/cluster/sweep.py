@@ -143,6 +143,19 @@ def _safe_dbi(rep: RepData, yhat: np.ndarray) -> Optional[float]:
         return None
 
 
+_STACK_FNS: Dict[int, object] = {}
+
+
+def _stack_jit(*xs):
+    """jit-cached stack of n 0-d scalars (one tiny program per arity)."""
+    import jax
+    import jax.numpy as jnp
+    f = _STACK_FNS.get(len(xs))
+    if f is None:
+        f = _STACK_FNS[len(xs)] = jax.jit(lambda *a: jnp.stack(a))
+    return f(*xs)
+
+
 def finalize_rows(rows: List[Dict]) -> List[Dict]:
     """Resolve deferred device metric scalars with ONE host transfer and
     fill the conservative scores that depend on them."""
@@ -152,9 +165,22 @@ def finalize_rows(rows: List[Dict]) -> List[Dict]:
             for key in ("silhouette", "davies_bouldin")
             if isinstance(r.get(key), jax.Array)]
     if pend:
-        vals = np.asarray(jnp.stack([rows[i][key] for i, key in pend]))
+        try:
+            # jitted stack: an eager dispatch costs ~0.5-1 s on tunneled
+            # devices (CLAUDE.md); one small program per pending-count
+            vals = np.asarray(_stack_jit(*[rows[i][key] for i, key in pend]))
+        except Exception:
+            # a failed cell's device program surfaces here instead of at the
+            # (pre-lazy) per-cell float(); degrade that cell to None like
+            # the per-cell guards always did, keeping the rest of the sweep
+            vals = []
+            for i, key in pend:
+                try:
+                    vals.append(float(rows[i][key]))
+                except Exception:
+                    vals.append(None)
         for (i, key), v in zip(pend, vals):
-            rows[i][key] = float(v)
+            rows[i][key] = None if v is None else float(v)
     for r in rows:
         if "noise_frac" in r and r.get("score") is None:
             r["score"] = conservative_score(r["silhouette"],

@@ -172,7 +172,25 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
            "params": res.params, "lyrics_mask": mask}
     if defer_artifacts:
         import threading
-        t = threading.Thread(target=_save_artifacts, daemon=False)
+
+        class _ArtifactThread(threading.Thread):
+            """join_and_raise() propagates a background save failure to the
+            pipeline instead of silently reporting success with missing or
+            stale artifact files."""
+            exc: Optional[BaseException] = None
+
+            def run(self):
+                try:
+                    _save_artifacts()
+                except BaseException as e:
+                    self.exc = e
+
+            def join_and_raise(self):
+                self.join()
+                if self.exc is not None:
+                    raise self.exc
+
+        t = _ArtifactThread(daemon=False)
         t.start()
         out["artifact_thread"] = t
     else:
@@ -600,7 +618,7 @@ def run_medium_pipeline(source: Source, ws: Workspace,
            "report": rep}
     thread = t.pop("artifact_thread", None)
     if thread is not None:
-        thread.join()              # viz14 reads vae_mm_latents_mu.npy
+        thread.join_and_raise()    # viz14 reads vae_mm_latents_mu.npy
     if with_viz:
         out["viz14"] = visualize_clustering(
             ws, ws.data / "vae_mm_latents_mu.npy",
