@@ -82,3 +82,26 @@ def test_feature_pair_validation(tmp_path):
     assert x2.shape == (4, 3)
     with pytest.raises(ValueError):
         artifacts.save_features(tmp_path / "g_X.npy", x, ids[:2])
+
+
+def test_tier_runners_write_timing_reports(tmp_path):
+    """Every tier run writes a per-stage wall-clock report (observability —
+    SURVEY.md §5; the reference has tqdm bars only)."""
+    import json
+
+    from vae_hmc_tpu.core.config import (DenseVaeConfig, KMeansConfig,
+                                         MfccConfig, Workspace)
+    from vae_hmc_tpu.pipelines import easy
+    from vae_hmc_tpu.pipelines.sources import SyntheticSource
+
+    ws = Workspace(tmp_path)
+    src = SyntheticSource.make(16, seed=0, lyrics_coverage=1.0)
+    out = easy.run_easy_pipeline(
+        src, ws, MfccConfig(duration_s=1.0),
+        DenseVaeConfig(latent_dim=4, epochs=2, batch_size=8),
+        KMeansConfig(n_clusters=3, n_init=2), with_viz=False)
+    rep = json.loads((ws.results / "timing_easy.json").read_text())
+    assert set(rep["seconds"]) == {"train_basic_vae", "cluster_easy",
+                                   "compare_pca_baseline"}
+    assert rep["total_seconds"] > 0
+    assert out["timing"]["items_per_second"]["train_basic_vae"] > 0

@@ -250,11 +250,23 @@ def run_easy_pipeline(source: Source, ws: Workspace,
                       with_viz: bool = True,
                       device_batch: int = 64,
                       verbose: bool = False) -> Dict:
-    """Full easy tier (06 -> 07 -> 08 -> 09) in one call."""
-    t = train_basic_vae(source, ws, mfcc_cfg, vae_cfg,
-                        device_batch=device_batch, verbose=verbose)
-    c = cluster_easy(ws, km_cfg, latents=t["latents"],
-                     track_ids=t["track_ids"])
-    v = visualize_easy(ws) if with_viz else None
-    m = compare_pca_baseline(ws, km_cfg)
-    return {"train": t, "cluster": c, "viz": v, "compare": m}
+    """Full easy tier (06 -> 07 -> 08 -> 09) in one call.  Writes a
+    per-stage wall-clock report to results/timing_easy.json."""
+    from vae_hmc_tpu.core.profiling import StageTimer
+    timer = StageTimer()
+    n = len(source)
+    with timer.stage("train_basic_vae", n):
+        t = train_basic_vae(source, ws, mfcc_cfg, vae_cfg,
+                            device_batch=device_batch, verbose=verbose)
+    with timer.stage("cluster_easy", n):
+        c = cluster_easy(ws, km_cfg, latents=t["latents"],
+                         track_ids=t["track_ids"])
+    v = None
+    if with_viz:
+        with timer.stage("visualize_easy", n):
+            v = visualize_easy(ws)
+    with timer.stage("compare_pca_baseline", n):
+        m = compare_pca_baseline(ws, km_cfg)
+    timer.save(ws.results / "timing_easy.json")
+    return {"train": t, "cluster": c, "viz": v, "compare": m,
+            "timing": timer.report()}

@@ -368,10 +368,22 @@ def run_hard_pipeline(source: Source, ws: Workspace,
                       tag: Optional[str] = None,
                       with_viz: bool = True, device_batch: int = 64,
                       verbose: bool = False) -> Dict:
-    prep = prepare_features(source, ws, mfcc_cfg, text_cfg, device_batch)
-    t = train_hard(ws, vae_cfg, tag=tag, verbose=verbose)
-    c = cluster_and_evaluate(ws, seed=vae_cfg.seed, tag=tag)
-    v = visualize_latents(ws, seed=vae_cfg.seed, tag=tag) if with_viz else None
-    b = compare_with_baselines(ws, ae_cfg=ae_cfg, seed=vae_cfg.seed, tag=tag,
-                               verbose=verbose)
-    return {"prep": prep, "train": t, "cluster": c, "viz": v, "baselines": b}
+    from vae_hmc_tpu.core.profiling import StageTimer
+    timer = StageTimer()
+    n = len(source)
+    with timer.stage("prepare_features", n):
+        prep = prepare_features(source, ws, mfcc_cfg, text_cfg, device_batch)
+    with timer.stage("train_hard", n):
+        t = train_hard(ws, vae_cfg, tag=tag, verbose=verbose)
+    with timer.stage("cluster_and_evaluate", n):
+        c = cluster_and_evaluate(ws, seed=vae_cfg.seed, tag=tag)
+    v = None
+    if with_viz:
+        with timer.stage("visualize_latents", n):
+            v = visualize_latents(ws, seed=vae_cfg.seed, tag=tag)
+    with timer.stage("compare_with_baselines", n):
+        b = compare_with_baselines(ws, ae_cfg=ae_cfg, seed=vae_cfg.seed,
+                                   tag=tag, verbose=verbose)
+    timer.save(ws.results / "timing_hard.json")
+    return {"prep": prep, "train": t, "cluster": c, "viz": v, "baselines": b,
+            "timing": timer.report()}

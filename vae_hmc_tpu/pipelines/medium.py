@@ -593,36 +593,52 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     device for the whole pipeline — feature extraction feeds training and
     the sweep in place, and the only full-tensor device->host fetch is the
     optional audio_cnn_mel_X.npy write (write_mel_features)."""
+    from vae_hmc_tpu.core.profiling import StageTimer
+    timer = StageTimer()
+    n_src = len(source)
     genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
                                                 source.genres)}
-    a = build_audio_features(source, ws, mel_cfg, device_batch,
-                             write_features=write_mel_features,
-                             hbm_resident=hbm_resident)
-    l = build_lyrics_embeddings(source, ws, text_cfg)
+    with timer.stage("build_audio_features", n_src):
+        a = build_audio_features(source, ws, mel_cfg, device_batch,
+                                 write_features=write_mel_features,
+                                 hbm_resident=hbm_resident)
+    with timer.stage("build_lyrics_embeddings", n_src):
+        l = build_lyrics_embeddings(source, ws, text_cfg)
     # artifact writes (incl. the checkpoint-param device fetch) overlap the
     # cluster stages below; joined before anything reads the files
-    t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
-                      defer_artifacts=True)
+    with timer.stage("train_conv_mm", n_src):
+        t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
+                          defer_artifacts=True)
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
               "baseline_lyrics_only": (l["emb"], l["ids"])}
     # ONE RepData per representation, shared by scripts 13 and 16: the device
     # distance matrix, its single host fetch, and the ward linkage are each
     # computed exactly once per representation for the whole pipeline.
-    reps = _load_reps(ws, genre_map, standardize=False,
-                      names=sweep_cfg.representations, arrays=arrays)
-    c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
-    c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, reps=reps)
-    rep = report_tables_and_plots(ws)
+    with timer.stage("build_representations", n_src):
+        reps = _load_reps(ws, genre_map, standardize=False,
+                          names=sweep_cfg.representations, arrays=arrays)
+    with timer.stage("cluster_and_evaluate", n_src):
+        c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
+    with timer.stage("full_clustering_sweep", n_src):
+        c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, reps=reps)
+    with timer.stage("report_tables_and_plots", n_src):
+        rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
     thread = t.pop("artifact_thread", None)
     if thread is not None:
-        thread.join_and_raise()    # viz14 reads vae_mm_latents_mu.npy
+        with timer.stage("train_artifact_join", n_src):
+            thread.join_and_raise()  # viz14 reads vae_mm_latents_mu.npy
     if with_viz:
-        out["viz14"] = visualize_clustering(
-            ws, ws.data / "vae_mm_latents_mu.npy",
-            ws.data / "vae_mm_latents_track_ids.npy", genre_map,
-            method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6")
-        out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6, arrays=arrays)
+        with timer.stage("visualize_clustering", n_src):
+            out["viz14"] = visualize_clustering(
+                ws, ws.data / "vae_mm_latents_mu.npy",
+                ws.data / "vae_mm_latents_track_ids.npy", genre_map,
+                method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6")
+        with timer.stage("side_by_side_and_dbscan_sweep", n_src):
+            out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6,
+                                                         arrays=arrays)
+    timer.save(ws.results / "timing_medium.json")
+    out["timing"] = timer.report()
     return out
