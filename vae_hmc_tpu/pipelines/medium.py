@@ -286,6 +286,12 @@ def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
     for rep in reps:
         rows += sweep_mod.cluster_suite(rep, n_clusters)
     _rows_to_csv(rows, ws.results / "medium_clustering_metrics_all.csv", _HDR13)
+    # the reference prints a top-12 heuristic-score ranking view (13:226-236)
+    ranked = sorted(rows, key=sweep_mod.heuristic_score, reverse=True)[:12]
+    print("Top results (heuristic score):")
+    for r in ranked:
+        print(f"  {r['representation']:22s} {r['algo']:14s} "
+              f"{r['params']:16s} score={sweep_mod.heuristic_score(r):.4f}")
     return rows
 
 
