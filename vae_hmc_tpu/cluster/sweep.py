@@ -191,9 +191,10 @@ def finalize_rows(rows: List[Dict]) -> List[Dict]:
 
 def evaluate_cell(rep: RepData, algo: str, params: str,
                   yhat: np.ndarray, with_noise_frac: bool) -> Dict:
+    from vae_hmc_tpu.metrics.safe import n_effective_clusters, noise_fraction
     uniq = np.unique(yhat)
-    n_noise = int(np.sum(yhat == -1)) if -1 in uniq else 0
-    n_found = len([u for u in uniq.tolist() if u != -1])
+    n_noise = int(round(noise_fraction(yhat) * len(yhat)))
+    n_found = n_effective_clusters(yhat)
     sil = _safe_sil_d(rep, yhat)
     dbi = _safe_dbi(rep, yhat)
     ari = safe_ari(rep.y_true, yhat) if rep.y_true is not None else None

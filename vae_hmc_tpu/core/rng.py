@@ -35,7 +35,3 @@ def _stable_hash(name: str) -> int:
 
 def epoch_key(key: jax.Array, epoch: int) -> jax.Array:
     return jax.random.fold_in(key, epoch)
-
-
-def numpy_rng(seed: int) -> np.random.Generator:
-    return np.random.default_rng(seed)

@@ -133,8 +133,3 @@ class PCA:
 
     def fit_transform(self, x) -> jnp.ndarray:
         return self.fit(x).transform(x)
-
-
-def pca_project(x, n_components: int) -> np.ndarray:
-    """One-shot helper; returns host array."""
-    return np.asarray(PCA(n_components).fit_transform(x))
