@@ -109,3 +109,29 @@ def test_dbscan_device_labeling_matches_host_and_sklearn(rng):
             sk = SkDBSCAN(eps=eps, min_samples=ms).fit(x).labels_
             np.testing.assert_array_equal(dev, host)
             np.testing.assert_array_equal(dev, sk)
+
+
+def test_dbscan_grid_matches_per_cell_and_sklearn():
+    """The vmapped whole-grid labeler == the per-cell device labeler ==
+    sklearn, for every (eps, min_samples) cell incl. all-noise ones."""
+    import jax.numpy as jnp
+    from sklearn.cluster import DBSCAN as SkDBSCAN
+
+    from vae_hmc_tpu.cluster.dbscan import (dbscan_from_dists_device,
+                                            dbscan_sweep_from_dists_device)
+    from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.normal(0, 0.3, (40, 4)),
+                        rng.normal(4, 0.3, (35, 4)),
+                        rng.normal((0, 4, 0, 4), 0.3, (25, 4)),
+                        rng.uniform(-3, 7, (20, 4))]).astype(np.float32)
+    d = jnp.sqrt(pairwise_sq_dists(jnp.asarray(x)))
+    eps_values, ms_values = [0.05, 0.5, 0.9, 1.5], [3, 5, 12]
+    grid = dbscan_sweep_from_dists_device(d, eps_values, ms_values)
+    assert len(grid) == 12
+    for (eps, ms), lab in grid.items():
+        per_cell = dbscan_from_dists_device(d, eps, ms)
+        np.testing.assert_array_equal(lab, per_cell), (eps, ms)
+        sk = SkDBSCAN(eps=eps, min_samples=ms).fit(x).labels_
+        np.testing.assert_array_equal(lab, sk), (eps, ms)

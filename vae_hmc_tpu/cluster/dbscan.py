@@ -66,51 +66,55 @@ def labels_from_adjacency(adj: np.ndarray, min_samples: int) -> np.ndarray:
 def _device_label_impl():
     """Build (once) the jitted on-device labeling program."""
     import jax
+    return jax.jit(_label_body)
+
+
+def _label_body(adj, min_samples):
+    """On-device sklearn-exact labeling from a boolean adjacency matrix.
+    Plain traceable function: jitted directly for single cells and vmapped
+    over the (eps, min_samples) grid for sweeps."""
+    import jax
     import jax.numpy as jnp
+    n = adj.shape[0]
+    adj = adj & adj.T                    # symmetry guard (distances are)
+    core = jnp.sum(adj, axis=1) >= min_samples
+    # min-core-index propagation over the core-core subgraph to fixpoint:
+    # root[i] = lowest core index reachable from core i.  Each sweep is
+    # one (N, N) masked min-reduce on device; converges in O(graph
+    # diameter) sweeps (dense eps-graphs: a handful).
+    idx = jnp.arange(n)
+    big = jnp.asarray(n, jnp.int32)
+    core_adj = adj & core[:, None] & core[None, :]
+    root0 = jnp.where(core, idx, big).astype(jnp.int32)
 
-    @jax.jit
-    def impl(adj, min_samples):
-        n = adj.shape[0]
-        adj = adj & adj.T                    # symmetry guard (distances are)
-        core = jnp.sum(adj, axis=1) >= min_samples
-        # min-core-index propagation over the core-core subgraph to fixpoint:
-        # root[i] = lowest core index reachable from core i.  Each sweep is
-        # one (N, N) masked min-reduce on device; converges in O(graph
-        # diameter) sweeps (dense eps-graphs: a handful).
-        idx = jnp.arange(n)
-        big = jnp.asarray(n, jnp.int32)
-        core_adj = adj & core[:, None] & core[None, :]
-        root0 = jnp.where(core, idx, big).astype(jnp.int32)
+    def cond(carry):
+        root, changed = carry
+        return changed
 
-        def cond(carry):
-            root, changed = carry
-            return changed
+    def sweep(carry):
+        root, _ = carry
+        nbr_min = jnp.min(jnp.where(core_adj, root[None, :], big), axis=1)
+        new = jnp.minimum(root, nbr_min)
+        return new, jnp.any(new != root)
 
-        def sweep(carry):
-            root, _ = carry
-            nbr_min = jnp.min(jnp.where(core_adj, root[None, :], big), axis=1)
-            new = jnp.minimum(root, nbr_min)
-            return new, jnp.any(new != root)
+    root, _ = jax.lax.while_loop(cond, sweep,
+                                 (root0, jnp.asarray(True)))
+    # cluster id = rank of the component's root among distinct roots
+    # (sklearn's seed order: components numbered by lowest core index)
+    is_root = core & (root == idx)
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1     # inclusive - 1
+    safe_root = jnp.clip(root, 0, n - 1)
+    core_label = rank[safe_root]
+    # border points: min cluster id among core neighbors (the lowest-id
+    # cluster reaches a border point first in sklearn's expansion order)
+    nbr_core_label = jnp.where(adj & core[None, :],
+                               core_label[None, :], big)
+    border_label = jnp.min(nbr_core_label, axis=1)
+    labels = jnp.where(
+        core, core_label,
+        jnp.where(border_label < big, border_label, -1))
+    return labels.astype(jnp.int32)
 
-        root, _ = jax.lax.while_loop(cond, sweep,
-                                     (root0, jnp.asarray(True)))
-        # cluster id = rank of the component's root among distinct roots
-        # (sklearn's seed order: components numbered by lowest core index)
-        is_root = core & (root == idx)
-        rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1     # inclusive - 1
-        safe_root = jnp.clip(root, 0, n - 1)
-        core_label = rank[safe_root]
-        # border points: min cluster id among core neighbors (the lowest-id
-        # cluster reaches a border point first in sklearn's expansion order)
-        nbr_core_label = jnp.where(adj & core[None, :],
-                                   core_label[None, :], big)
-        border_label = jnp.min(nbr_core_label, axis=1)
-        labels = jnp.where(
-            core, core_label,
-            jnp.where(border_label < big, border_label, -1))
-        return labels.astype(jnp.int32)
-
-    return impl
 
 
 _DEVICE_LABEL = None
@@ -132,6 +136,42 @@ def dbscan_from_dists_device(d, eps: float, min_samples: int) -> np.ndarray:
     return labels_from_adjacency_device(d <= eps, min_samples)
 
 
+_DEVICE_LABEL_SWEEP = None
+
+
+def dbscan_sweep_from_dists_device(d, eps_values, min_samples_values,
+                                   squared: bool = False):
+    """Labels for the whole (eps x min_samples) grid as ONE vmapped device
+    program and ONE host fetch — the per-cell path pays a dispatch + (N,)
+    fetch round-trip per cell (24 cells/representation in the script-16
+    grid).  The vmapped while_loop runs every cell until the slowest
+    converges; adjacency memory is (C, N, N) bool (~205 MB for the full
+    grid at N=2924).
+
+    squared=True: `d` holds SQUARED distances and thresholds are eps^2
+    (the dbscan()/dbscan_sweep() x-input path).
+    -> {(eps, min_samples): (N,) int64 labels}
+    """
+    global _DEVICE_LABEL_SWEEP
+    import jax
+    import jax.numpy as jnp
+    if _DEVICE_LABEL_SWEEP is None:
+        @jax.jit
+        def sweep_impl(dd, thr_arr, ms_arr):
+            adjs = dd[None, :, :] <= thr_arr[:, None, None]
+            return jax.vmap(_label_body)(adjs, ms_arr)
+
+        _DEVICE_LABEL_SWEEP = sweep_impl
+    pairs = [(float(e), int(m)) for e in eps_values
+             for m in min_samples_values]
+    thr = jnp.asarray([e * e if squared else e for e, _ in pairs],
+                      jnp.float32)
+    ms = jnp.asarray([m for _, m in pairs], jnp.int32)
+    labels = np.asarray(_DEVICE_LABEL_SWEEP(jnp.asarray(d, jnp.float32),
+                                            thr, ms))
+    return {p: labels[i].astype(np.int64) for i, p in enumerate(pairs)}
+
+
 def dbscan(x, eps: float, min_samples: int = 5) -> np.ndarray:
     import jax
     if isinstance(x, jax.Array):
@@ -148,9 +188,9 @@ def dbscan_sweep(x, eps_values, min_samples_values):
     import jax
     if isinstance(x, jax.Array):
         d2 = pairwise_sq_dists(x.reshape(x.shape[0], -1))
-        return {(float(eps), int(ms)):
-                labels_from_adjacency_device(d2 <= eps * eps, ms)
-                for eps in eps_values for ms in min_samples_values}
+        return dbscan_sweep_from_dists_device(d2, eps_values,
+                                              min_samples_values,
+                                              squared=True)
     d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)))
     out = {}
     for eps in eps_values:

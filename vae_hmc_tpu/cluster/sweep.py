@@ -237,12 +237,14 @@ def heuristic_score(row: Dict) -> float:
     return float(sil) + float(ari) - 0.2 * float(dbi)
 
 
-def _dbscan_labels_from_dists(rep: RepData, eps: float,
-                              min_samples: int) -> np.ndarray:
-    # labeling runs on device from the cached device distance matrix; only
-    # the (N,) labels are fetched (was: a host 34 MB distance readback)
-    from vae_hmc_tpu.cluster.dbscan import dbscan_from_dists_device
-    return dbscan_from_dists_device(rep.dists_dev, eps, min_samples)
+def _dbscan_grid_from_dists(rep: RepData, eps_values: Sequence[float],
+                            min_samples_values: Sequence[int]) -> Dict:
+    # ALL grid cells labeled in one vmapped device program from the cached
+    # device distance matrix; one (C, N) fetch (was: a dispatch + fetch
+    # round-trip per cell)
+    from vae_hmc_tpu.cluster.dbscan import dbscan_sweep_from_dists_device
+    return dbscan_sweep_from_dists_device(rep.dists_dev, eps_values,
+                                          min_samples_values)
 
 
 def cluster_suite(rep: RepData, n_clusters: int,
@@ -259,8 +261,9 @@ def cluster_suite(rep: RepData, n_clusters: int,
     ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, n_clusters)
     rows.append(evaluate_cell(rep, "agglomerative", f"k={n_clusters},ward",
                               ag, with_noise_frac=False))
+    grid = _dbscan_grid_from_dists(rep, dbscan_eps, [dbscan_min_samples])
     for eps in dbscan_eps:
-        yhat = _dbscan_labels_from_dists(rep, eps, dbscan_min_samples)
+        yhat = grid[(float(eps), int(dbscan_min_samples))]
         rows.append(evaluate_cell(
             rep, "dbscan", f"eps={eps},min={dbscan_min_samples}", yhat,
             with_noise_frac=False))
@@ -285,9 +288,10 @@ def full_sweep(rep: RepData,
         ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, k)
         rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,
                                   with_noise_frac=True))
+    grid = _dbscan_grid_from_dists(rep, eps_values, min_samples_values)
     for eps in eps_values:
         for ms in min_samples_values:
-            yhat = _dbscan_labels_from_dists(rep, eps, ms)
+            yhat = grid[(float(eps), int(ms))]
             rows.append(evaluate_cell(rep, "dbscan", f"eps={eps},min={ms}",
                                       yhat, with_noise_frac=True))
     return finalize_rows(rows)
