@@ -132,6 +132,7 @@ def test_dbscan_grid_matches_per_cell_and_sklearn():
     assert len(grid) == 12
     for (eps, ms), lab in grid.items():
         per_cell = dbscan_from_dists_device(d, eps, ms)
-        np.testing.assert_array_equal(lab, per_cell), (eps, ms)
+        np.testing.assert_array_equal(lab, per_cell,
+                                      err_msg=f"cell {(eps, ms)}")
         sk = SkDBSCAN(eps=eps, min_samples=ms).fit(x).labels_
-        np.testing.assert_array_equal(lab, sk), (eps, ms)
+        np.testing.assert_array_equal(lab, sk, err_msg=f"cell {(eps, ms)}")

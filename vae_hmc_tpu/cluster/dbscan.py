@@ -63,12 +63,6 @@ def labels_from_adjacency(adj: np.ndarray, min_samples: int) -> np.ndarray:
     return labels
 
 
-def _device_label_impl():
-    """Build (once) the jitted on-device labeling program."""
-    import jax
-    return jax.jit(_label_body)
-
-
 def _label_body(adj, min_samples):
     """On-device sklearn-exact labeling from a boolean adjacency matrix.
     Plain traceable function: jitted directly for single cells and vmapped
@@ -116,7 +110,6 @@ def _label_body(adj, min_samples):
     return labels.astype(jnp.int32)
 
 
-
 _DEVICE_LABEL = None
 
 
@@ -127,7 +120,8 @@ def labels_from_adjacency_device(adj, min_samples: int) -> np.ndarray:
     tunnel).  Parity with labels_from_adjacency is tested directly."""
     global _DEVICE_LABEL
     if _DEVICE_LABEL is None:
-        _DEVICE_LABEL = _device_label_impl()
+        import jax
+        _DEVICE_LABEL = jax.jit(_label_body)
     return np.asarray(_DEVICE_LABEL(adj, min_samples), dtype=np.int64)
 
 

@@ -193,7 +193,8 @@ def evaluate_cell(rep: RepData, algo: str, params: str,
                   yhat: np.ndarray, with_noise_frac: bool) -> Dict:
     from vae_hmc_tpu.metrics.safe import n_effective_clusters, noise_fraction
     uniq = np.unique(yhat)
-    n_noise = int(round(noise_fraction(yhat) * len(yhat)))
+    noise_frac = noise_fraction(yhat)
+    n_noise = int(np.sum(yhat == -1))
     n_found = n_effective_clusters(yhat)
     sil = _safe_sil_d(rep, yhat)
     dbi = _safe_dbi(rep, yhat)
@@ -211,7 +212,7 @@ def evaluate_cell(rep: RepData, algo: str, params: str,
     }
     if with_noise_frac:
         import jax
-        row["noise_frac"] = float(n_noise) / float(len(yhat))
+        row["noise_frac"] = noise_frac
         # sil/dbi may be deferred device scalars; the score is then filled
         # by finalize_rows after the one bulk fetch
         row["score"] = (None if any(isinstance(v, jax.Array)
