@@ -196,3 +196,24 @@ def test_pca_mid_d_subspace_and_cov_paths():
             c = np.dot(z[:, i], z_sk[:, i]) / (
                 np.linalg.norm(z[:, i]) * np.linalg.norm(z_sk[:, i]))
             assert float(c) > 0.999, (n, d, i, c)   # sign conv must match too
+
+
+def test_subspace_topk_near_degenerate_pair():
+    """A near-degenerate top pair (ratio 0.999) converges as a SUBSPACE
+    (Rayleigh-Ritz separates inside the block); individual vectors may
+    rotate within the pair but the spanned projector must match numpy."""
+    from vae_hmc_tpu.ops.subspace import topk_eigh
+
+    rng = np.random.default_rng(13)
+    q, _ = np.linalg.qr(rng.normal(0, 1, (400, 400)))
+    w_true = np.concatenate([[100.0, 99.9], np.linspace(40, 0.1, 398)])
+    a = (q * w_true) @ q.T
+    w, v = topk_eigh(np.asarray(a, np.float32), 2)
+    np.testing.assert_allclose(np.sort(np.asarray(w))[::-1],
+                               [100.0, 99.9], rtol=1e-3)
+    # projector distance between spans
+    v = np.asarray(v)
+    p_ours = v @ v.T
+    v_np = q[:, :2]
+    p_np = v_np @ v_np.T
+    assert np.abs(p_ours - p_np).max() < 5e-3
