@@ -88,8 +88,16 @@ def main(argv=None) -> int:
     p.add_argument("--n-init", type=int, default=20)
     p = sub.add_parser("viz-easy", help="script 08: latent 2-D viz")
     _add_common(p)
-    p.add_argument("--method", type=str, default="umap",
+    p.add_argument("--method", dest="reducer", type=str, default="umap",
                    choices=["umap", "tsne"])
+    p.add_argument("--reducer", dest="reducer", type=str,
+                   choices=["umap", "tsne"], default=argparse.SUPPRESS,
+                   help="alias of --method (08)")
+    p.add_argument("--umap-n-neighbors", type=int, default=30)    # 08:98
+    p.add_argument("--umap-min-dist", type=float, default=0.1)    # 08:99
+    p.add_argument("--tsne-perplexity", type=float, default=30.0)  # 08:118
+    p.add_argument("--tsne-learning-rate", type=float, default=200.0)
+    p.add_argument("--tsne-n-iter", type=int, default=1500)       # 08:120
     p = sub.add_parser("compare-pca", help="script 09: PCA baseline compare")
     _add_common(p)
     p.add_argument("--k", type=int, default=5)
@@ -110,6 +118,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("build-lyrics-emb", help="script 11: lyric embeddings")
     _add_common(p)
     p.add_argument("--min-chars", type=int, default=30)
+    p.add_argument("--model", type=str,
+                   default="sentence-transformers/all-MiniLM-L6-v2")  # 11:85
+    p.add_argument("--batch-size", type=int, default=64)              # 11:87
     p = sub.add_parser("train-conv-mm", help="script 12: conv multimodal VAE")
     _add_common(p)
     p.add_argument("--epochs", type=int, default=25)
@@ -120,6 +131,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--n-clusters", type=int, default=6)
     p.add_argument("--standardize", action="store_true")
+    p.add_argument("--pca-dim", type=int, default=0,
+                   help="optional PCA pre-reduction of each representation")
     p = sub.add_parser("viz-cluster", help="script 14: generic cluster viz")
     _add_common(p)
     p.add_argument("--repr", dest="repr_path", type=str, required=True)
@@ -137,9 +150,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("viz-side-by-side", help="script 15: 3x2 panel + sweep")
     _add_common(p)
     p.add_argument("--k", type=int, default=6)
+    p.add_argument("--dbscan-eps-list", type=str,
+                   default="0.2,0.3,0.4,0.5,0.6,0.8,1.0")          # 15:88
+    p.add_argument("--dbscan-min-samples", type=int, default=5)
+    p.add_argument("--standardize", action="store_true")
+    p.add_argument("--tag", type=str, default="medium")
     p = sub.add_parser("sweep-medium", help="script 16: full clustering sweep")
     _add_common(p)
     p.add_argument("--standardize", action="store_true")
+    p.add_argument("--k-list", type=str, default="4,5,6,7,8")       # 16:181
+    p.add_argument("--eps-list", type=str,
+                   default="0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0")       # 16:219
+    p.add_argument("--min-samples-list", type=str, default="3,5,8")  # 16:219
     p = sub.add_parser("report-medium", help="script 17: report tables/plots")
     _add_common(p)
     p.add_argument("--max-noise", type=float, default=0.30)
@@ -264,8 +286,15 @@ def main(argv=None) -> int:
                                                  seed=args.seed))
         print(json.dumps(out["summary"]["label_distribution"]))
     elif cmd == "viz-easy":
+        from vae_hmc_tpu.core.config import TsneConfig, UmapConfig
         from vae_hmc_tpu.pipelines import easy
-        out = easy.visualize_easy(ws, args.method)
+        out = easy.visualize_easy(
+            ws, args.reducer,
+            tsne_cfg=TsneConfig(perplexity=args.tsne_perplexity,
+                                learning_rate=args.tsne_learning_rate,
+                                n_iter=args.tsne_n_iter, seed=args.seed),
+            umap_cfg=UmapConfig(n_neighbors=args.umap_n_neighbors,
+                                min_dist=args.umap_min_dist, seed=args.seed))
         print(f"wrote {out['plot']} ({out['method']})")
     elif cmd == "compare-pca":
         from vae_hmc_tpu.pipelines import easy
@@ -293,7 +322,9 @@ def main(argv=None) -> int:
     elif cmd == "build-lyrics-emb":
         from vae_hmc_tpu.pipelines import medium
         out = medium.build_lyrics_embeddings(
-            _source(args), ws, TextEmbedConfig(min_chars=args.min_chars))
+            _source(args), ws, TextEmbedConfig(min_chars=args.min_chars,
+                                               model_name=args.model,
+                                               batch_size=args.batch_size))
         print(f"emb: {out['emb'].shape} backend={out['backend']}")
     elif cmd == "train-conv-mm":
         from vae_hmc_tpu.pipelines import medium
@@ -317,10 +348,18 @@ def main(argv=None) -> int:
             gm = read_manifest(mp).genre_map()
         if cmd == "cluster-medium":
             rows = medium.cluster_and_evaluate(ws, gm, args.n_clusters,
-                                               args.standardize)
+                                               args.standardize,
+                                               pca_dim=args.pca_dim)
             print(f"{len(rows)} rows -> medium_clustering_metrics_all.csv")
         elif cmd == "sweep-medium":
-            rows = medium.full_clustering_sweep(ws, gm,
+            from vae_hmc_tpu.core.config import SweepConfig
+            scfg = SweepConfig(
+                ks=tuple(int(v) for v in args.k_list.split(",")),
+                dbscan_eps=tuple(float(v) for v in args.eps_list.split(",")),
+                dbscan_min_samples=tuple(
+                    int(v) for v in args.min_samples_list.split(",")),
+                seed=args.seed)
+            rows = medium.full_clustering_sweep(ws, gm, scfg,
                                                 standardize=args.standardize)
             print(f"{len(rows)} rows -> medium_full_sweep_metrics.csv")
         elif cmd == "report-medium":
@@ -328,7 +367,11 @@ def main(argv=None) -> int:
                                                  args.min_clusters)
             print(f"filtered rows: {len(out['filtered'])}")
         elif cmd == "viz-side-by-side":
-            out = medium.side_by_side_and_dbscan_sweep(ws, k=args.k)
+            out = medium.side_by_side_and_dbscan_sweep(
+                ws, k=args.k, dbscan_min_samples=args.dbscan_min_samples,
+                eps_list=tuple(float(v)
+                               for v in args.dbscan_eps_list.split(",")),
+                standardize=args.standardize, tag=args.tag, seed=args.seed)
             print(f"wrote {out['side_by_side']}")
         elif cmd == "viz-cluster":
             out = medium.visualize_clustering(
