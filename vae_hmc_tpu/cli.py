@@ -82,6 +82,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--no-cache-features", action="store_true",
+                   help="rebuild MFCCs even if the cache blob exists (06)")
     p = sub.add_parser("cluster-easy", help="script 07: KMeans on latents")
     _add_common(p)
     p.add_argument("--k", type=int, default=5)
@@ -276,7 +278,8 @@ def main(argv=None) -> int:
                            batch_size=args.batch_size,
                            learning_rate=args.lr, beta=args.beta,
                            seed=args.seed),
-            device_batch=args.device_batch, verbose=args.verbose)
+            device_batch=args.device_batch, verbose=args.verbose,
+            use_cache=not args.no_cache_features)
         print(f"latents: {out['latents'].shape}; history final "
               f"{out['history'][-1]}")
     elif cmd == "cluster-easy":
