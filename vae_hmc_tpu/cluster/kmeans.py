@@ -86,14 +86,16 @@ def _lloyd(x, centers, max_iter: int, tol_scaled):
         labels = jnp.argmin(d2, axis=1)
         return labels, d2
 
-    def update(centers, labels):
+    def update(centers, labels, d2):
         onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)       # (N, k)
         counts = jnp.sum(onehot, axis=0)                        # (k,)
         sums = jnp.matmul(onehot.T, x,
                           precision=jax.lax.Precision.HIGHEST)  # (k, d)
         new = sums / jnp.maximum(counts[:, None], 1.0)
-        # empty-cluster relocation: farthest points from their centers
-        d_own = jnp.min(_sq_dists_to_centers(x, centers), axis=1)
+        # empty-cluster relocation: farthest points from their centers —
+        # reuses the (N, k) distances assign() just computed (the dominant
+        # per-iteration matmul)
+        d_own = jnp.min(d2, axis=1)
         order = jnp.argsort(-d_own)                             # farthest first
         empty_rank = jnp.cumsum(counts == 0) - 1                # rank among empties
         donor = x[order[jnp.clip(empty_rank, 0, x.shape[0] - 1)]]
@@ -105,8 +107,8 @@ def _lloyd(x, centers, max_iter: int, tol_scaled):
 
     def step(state):
         centers, _, it, _ = state
-        labels, _ = assign(centers)
-        new_centers = update(centers, labels)
+        labels, d2 = assign(centers)
+        new_centers = update(centers, labels, d2)
         shift2 = jnp.sum((new_centers - centers) ** 2)
         return new_centers, shift2, it + 1, shift2 <= tol_scaled
 

@@ -237,6 +237,9 @@ class KMeansConfig:
     max_iter: int = 300            # sklearn default
     tol: float = 1e-4              # sklearn default (relative center-shift)
     seed: int = 42
+    # consumed by the TIER PIPELINES (cluster_easy / compare_pca scale
+    # before calling the kernel; hard deliberately does not) — the device
+    # kmeans() kernel itself takes data as-given.
     standardize: bool = True       # easy: 07:67-68 scales; hard: 20:65-69 does NOT
 
 

@@ -96,17 +96,21 @@ def fit(
     # Refuse with a clear error instead of poisoning the chip; the scale-out
     # path is a mesh (dp_fit shards rows over 'data', keeping each
     # per-device shard under the boundary).
-    if mesh is None and jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu":
         import os as _os
-        big = [f"{fa.shape} = {fa.nbytes / 2**30:.2f} GiB" for fa in flats
-               if fa.nbytes >= 2**31]
+        # with a mesh the rows shard over 'data': the boundary applies to
+        # the PER-DEVICE shard, not the global array
+        n_shards = 1 if mesh is None else int(mesh.shape.get("data", 1))
+        big = [f"{fa.shape} = {fa.nbytes / 2**30:.2f} GiB"
+               + (f" ({n_shards}-way sharded)" if n_shards > 1 else "")
+               for fa in flats if fa.nbytes / n_shards >= 2**31]
         if big and not _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
             raise ValueError(
                 f"dataset array(s) {big} exceed the single-TPU-buffer "
-                "2^31-byte gather boundary and would crash the TPU worker; "
-                "train over a mesh (dp_fit) to shard rows across devices, "
-                "or set VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime "
-                "supports 64-bit buffer addressing")
+                "2^31-byte gather boundary PER DEVICE and would crash the "
+                "TPU worker; shard over more 'data'-axis devices, or set "
+                "VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime supports "
+                "64-bit buffer addressing")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -154,6 +158,10 @@ def fit(
             else None)
 
     def loss_fn(p, rng, batch, beta_now):
+        # the LOSS target stays full f32 — only the model input casts down
+        # (round-tripping the target through bf16 would quantize the recon
+        # reference to an 8-bit mantissa for no benefit)
+        target_f32 = batch[target_idx].astype(jnp.float32)
         if cast is not None:
             p = jax.tree_util.tree_map(
                 lambda w: w.astype(cast) if w.dtype == jnp.float32 else w, p)
@@ -163,14 +171,13 @@ def fit(
         if variational:
             xhat, mu, logvar = out
             loss, aux = elbo_loss(xhat.astype(jnp.float32),
-                                  batch[target_idx].astype(jnp.float32),
+                                  target_f32,
                                   mu.astype(jnp.float32),
                                   logvar.astype(jnp.float32),
                                   beta_now, reduction)
         else:
             xhat = out[0] if isinstance(out, tuple) else out
-            loss = jnp.mean((xhat.astype(jnp.float32)
-                             - batch[target_idx].astype(jnp.float32)) ** 2)
+            loss = jnp.mean((xhat.astype(jnp.float32) - target_f32) ** 2)
             aux = {"recon": loss, "kl": jnp.zeros(()), "total": loss}
         return loss, aux
 
@@ -182,6 +189,12 @@ def fit(
 
     n_full = n // batch_size
     rem = n - n_full * batch_size
+    # permutation-key tag: must be DISJOINT from the per-step
+    # fold_in(ekey, i) stream (i in 0..n_full).  7919 is kept verbatim
+    # below that step count so every published trajectory is unchanged;
+    # past it the tag moves above the step range instead of reusing step
+    # 7919's key for the shuffle.
+    perm_tag = max(7919, n_full + 1)
 
     # `arrs` is an explicit jit argument (NOT a closure capture): closure
     # device arrays are baked into the executable as constants, which would
@@ -217,7 +230,8 @@ def fit(
     if checkpoint_dir is None and not verbose:
         keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
             jnp.arange(epochs))
-        perm_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7919))(keys)
+        perm_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, perm_tag))(keys)
         perms = jax.vmap(lambda k: jax.random.permutation(k, n))(perm_keys)
         betas = jnp.asarray([_beta_at(beta, e, kl_anneal_epochs)
                              for e in range(epochs)], jnp.float32)
@@ -316,7 +330,8 @@ def fit(
 
     for epoch in range(start_epoch, epochs):
         ekey = jax.random.fold_in(root, epoch)
-        perm = jax.random.permutation(jax.random.fold_in(ekey, 7919), n)
+        perm = jax.random.permutation(jax.random.fold_in(ekey, perm_tag),
+                                      n)
         beta_now = jnp.asarray(_beta_at(beta, epoch, kl_anneal_epochs),
                                jnp.float32)
         totals = np.zeros(3)
@@ -335,7 +350,8 @@ def fit(
         row = {"epoch": epoch + 1, "total": float(avg[0]),
                "recon": float(avg[1]), "kl": float(avg[2])}
         history.append(row)
-        if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
+        if verbose and ((log_every and epoch % log_every == 0)
+                        or epoch == epochs - 1):
             print(f"[epoch {epoch + 1:3d}/{epochs}] "
                   f"total {row['total']:.4f} recon {row['recon']:.4f} "
                   f"kl {row['kl']:.4f}")

@@ -122,7 +122,8 @@ def cluster_easy(ws: Workspace, km_cfg: KMeansConfig = KMeansConfig(),
         latents, track_ids = artifacts.load_features(
             vae_out / "latent_mu.npy", vae_out / "track_ids.npy")
 
-    zs = np.asarray(StandardScaler().fit_transform(latents))
+    zs = (np.asarray(StandardScaler().fit_transform(latents))
+          if km_cfg.standardize else np.asarray(latents, np.float32))
     res = kmeans(zs, km_cfg)
 
     np.save(out_dir / "labels_vae_kmeans.npy", res.labels.astype(np.int64))
