@@ -45,6 +45,22 @@ def _beta_at(beta: float, epoch: int, anneal_epochs: int) -> float:
     return beta
 
 
+def _flatten_for_gather(arrays):
+    """(arrays) -> (flats, tails): 2-D views for per-step row gathers.
+
+    Dynamic row gathers out of >2-D arrays (the (N, 128, 646, 1) mel
+    tensor) lower ~8x slower on TPU than the same gather on a
+    (N, features) 2-D view — the trailing unit dim wastes the (8, 128)
+    tile lanes.  Gathered batches reshape back via `tails` (a cheap
+    on-device relayout).  Shared by fit() and encode_in_batches so the
+    layout rule lives in one place.
+    """
+    n = int(arrays[0].shape[0])
+    tails = tuple(a.shape[1:] for a in arrays)
+    flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
+    return flats, tails
+
+
 def fit(
     apply_fn: Callable,                  # (params, rng, *batch_arrays) -> (xhat, mu, logvar) | (xhat, None, None)
     params,
@@ -82,13 +98,7 @@ def fit(
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
-    # Gather-layout optimization: dynamic row gathers out of >2-D arrays
-    # (the (N, 128, 646, 1) mel tensor) lower ~8x slower on TPU than the
-    # same gather on a (N, features) 2-D view — the trailing unit dim wastes
-    # the (8, 128) tile lanes.  Keep 2-D flats for the per-step gathers and
-    # reshape each gathered batch back (a cheap on-device relayout).
-    tails = tuple(a.shape[1:] for a in arrays)
-    flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
+    flats, tails = _flatten_for_gather(arrays)
 
     # Single-buffer addressing boundary (measured on v5e): per-step row
     # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
@@ -382,8 +392,7 @@ def encode_in_batches(
     HBM-resident for downstream device clustering."""
     n = int(arrays[0].shape[0])
     arrays = tuple(jnp.asarray(a) for a in arrays)
-    tails = tuple(a.shape[1:] for a in arrays)
-    flats = tuple(a.reshape(n, -1) if a.ndim > 2 else a for a in arrays)
+    flats, tails = _flatten_for_gather(arrays)
     nb = -(-n // batch_size)
 
     @jax.jit
