@@ -30,6 +30,38 @@ def test_process_row_range_partition():
         assert max(sizes) - min(sizes) <= 1
 
 
+def test_process_row_range_mesh_derived_single_process():
+    # sharding-derived: single process owns every shard, even uneven ones
+    mesh = mh.global_mesh(model_parallel=2)
+    for n in (10, 100, 2924):
+        assert mh.process_row_range(n, mesh=mesh) == (0, n)
+
+
+def test_stage_features_sharded_uneven_rows():
+    """n_rows not divisible by the data axis: an uneven P('data') array
+    cannot be constructed (round-2 advisor finding), so staging pads the
+    row axis to the next data-axis multiple with zero rows."""
+    mesh = mh.global_mesh(model_parallel=2)      # data axis = 4, 10 % 4 != 0
+    assert mh.padded_rows(10, mesh) == 12
+    full = np.random.default_rng(2).normal(size=(10, 3)).astype(np.float32)
+    g = mh.stage_features_sharded(lambda s, e: full[s:e], 10, mesh, batch=4)
+    assert g.shape == (12, 3)
+    np.testing.assert_array_equal(np.asarray(g)[:10], full)
+    np.testing.assert_array_equal(np.asarray(g)[10:], 0.0)
+    sizes = sorted(s.data.shape[0] for s in g.addressable_shards)
+    assert sizes == [3] * 8      # even 12/4 split, replicated over 'model'
+
+
+def test_stage_features_sharded_empty_range_needs_feature_dims():
+    mesh = mh.global_mesh(model_parallel=1)
+    full = np.zeros((4, 3), np.float32)
+    # 4 rows over 8 data shards: fine single-process (one process owns all),
+    # exercise the explicit empty-fallback path instead
+    got = mh.stage_features_sharded(lambda s, e: full[s:e], 4, mesh,
+                                    feature_dims=(3,))
+    assert got.shape == (8, 3)      # padded to the 8-way data axis
+
+
 def test_global_mesh_layout():
     mesh = mh.global_mesh(model_parallel=2)
     assert mesh.axis_names == ("data", "model")
@@ -89,13 +121,13 @@ n = init_distributed(f"localhost:{port}", num_processes=nproc, process_id=pid)
 assert n == nproc, n
 mesh = global_mesh(model_parallel=2)
 assert mesh.devices.size == 8, mesh.devices.shape
-N = 16
-lo, hi = process_row_range(N)
-full = np.arange(N, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
-ga = global_batch_from_local(full[lo:hi], mesh, N)
-total = float(jax.jit(jnp.sum)(ga))
-assert total == float(full.sum()), (total, full.sum())
-print(f"OK {pid} {lo} {hi} {total}")
+for N in (16, 10):   # divisible AND uneven (10 over data=4: 3,3,3,1 shards)
+    lo, hi = process_row_range(N, mesh=mesh)
+    full = np.arange(N, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    ga = global_batch_from_local(full[lo:hi], mesh, N)
+    total = float(jax.jit(jnp.sum)(ga))
+    assert total == float(full.sum()), (N, total, full.sum())
+print(f"OK {pid}")
 """
 
 

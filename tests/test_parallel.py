@@ -123,3 +123,55 @@ def test_dp_tp_conv_mm_full_resolution():
     assert np.isfinite([h["total"] for h in res.history]).all()
     assert mu.shape == (n, cfg.latent_dim)
     assert np.isfinite(mu).all()
+
+
+def test_gather_buffer_boundary_scales_with_data_axis():
+    """The 2^31-byte single-buffer gather boundary (round-2 measured TPU
+    crash at N=8,000 mel rows) applies PER data-axis shard: the exact
+    configuration that crashes single-chip passes once sharded 2+ ways.
+    Checked against the real guard the trainer calls, with shape stand-ins
+    (allocating 2.6 GiB in CI would be the bug, not the test)."""
+    from types import SimpleNamespace
+
+    from vae_hmc_tpu.models.train import oversize_gather_buffers
+    from vae_hmc_tpu.parallel.mesh import make_mesh
+
+    mel8000 = SimpleNamespace(shape=(8000, 128 * 646),
+                              nbytes=8000 * 128 * 646 * 4)    # 2.64 GiB
+    assert oversize_gather_buffers([mel8000], None)           # single-chip: refuse
+    mesh2 = make_mesh(2, shape=(2, 1))
+    assert not oversize_gather_buffers([mel8000], mesh2)      # 1.32 GiB/shard: ok
+    mesh8 = make_mesh(8, shape=(8, 1))
+    assert not oversize_gather_buffers([mel8000], mesh8)
+    # 6,000 rows (1.98 GiB) stays under the boundary even unsharded
+    mel6000 = SimpleNamespace(shape=(6000, 128 * 646),
+                              nbytes=6000 * 128 * 646 * 4)
+    assert not oversize_gather_buffers([mel6000], None)
+
+
+def test_dp_fit_uneven_rows_matches_divisible_semantics():
+    """dp_fit pads the resident arrays to the data axis; history must be
+    IDENTICAL to single-device fit on the same (unpadded) rows."""
+    import jax.numpy as jnp
+
+    from vae_hmc_tpu.models.dense_vae import DenseVAE
+    from vae_hmc_tpu.models.train import fit
+    from vae_hmc_tpu.parallel.mesh import make_mesh
+    from vae_hmc_tpu.parallel.train_dp import dp_fit
+
+    n, d = 45, 12                          # 45 % 8 != 0, remainder batch too
+    x = np.random.default_rng(0).normal(size=(n, d)).astype(np.float32)
+    model = DenseVAE(input_dim=d, hidden_dims=(16, 16), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, d)), key)
+
+    def apply_fn(p, rng, xb):
+        return model.apply(p, xb, rng)
+
+    kw = dict(epochs=3, batch_size=16, learning_rate=1e-3, seed=3)
+    ref = fit(apply_fn, params, (x,), **kw)
+    mesh = make_mesh(8, shape=(8, 1))
+    got = dp_fit(apply_fn, params, (x,), mesh, **kw)
+    for a, b in zip(ref.history, got.history):
+        np.testing.assert_allclose(a["total"], b["total"], rtol=5e-5,
+                                   atol=1e-6)

@@ -61,6 +61,36 @@ def _flatten_for_gather(arrays):
     return flats, tails
 
 
+GATHER_BUFFER_BOUNDARY = 2 ** 31    # bytes; v5e single-buffer gather limit
+
+
+def oversize_gather_buffers(flats, mesh) -> List[str]:
+    """Arrays whose PER-DEVICE resident shard would cross the 2^31-byte
+    single-buffer gather boundary (round-2 measured TPU-worker crash).
+
+    With a mesh the rows shard over 'data', so the boundary applies to
+    nbytes / data_axis_size, not the global array — the scale envelope
+    grows linearly with the data axis (N=8,000 mel rows crash single-chip
+    at 2.64 GiB but fit 2 ways at 1.32 GiB/shard)."""
+    n_shards = 1 if mesh is None else int(mesh.shape.get("data", 1))
+    return [f"{tuple(fa.shape)} = {fa.nbytes / 2**30:.2f} GiB"
+            + (f" ({n_shards}-way sharded)" if n_shards > 1 else "")
+            for fa in flats
+            if fa.nbytes / n_shards >= GATHER_BUFFER_BOUNDARY]
+
+
+def check_gather_buffer_boundary(flats, mesh) -> None:
+    import os as _os
+    big = oversize_gather_buffers(flats, mesh)
+    if big and not _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
+        raise ValueError(
+            f"dataset array(s) {big} exceed the single-TPU-buffer "
+            "2^31-byte gather boundary PER DEVICE and would crash the "
+            "TPU worker; shard over more 'data'-axis devices, or set "
+            "VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime supports "
+            "64-bit buffer addressing")
+
+
 def fit(
     apply_fn: Callable,                  # (params, rng, *batch_arrays) -> (xhat, mu, logvar) | (xhat, None, None)
     params,
@@ -82,6 +112,7 @@ def fit(
     mesh=None,                           # jax Mesh -> DP over 'data' (+ TP
     param_shardings=None,                # via the caller's sharding tree)
     compute_dtype: Optional[str] = None,  # "bfloat16" -> mixed precision
+    n_rows: Optional[int] = None,        # valid rows if arrays carry padding
 ) -> FitResult:
     """Single fused trainer for 1 device and for device meshes.
 
@@ -95,10 +126,24 @@ def fit(
     — mesh training is step-equivalent to fit() by construction, not by a
     parallel reimplementation (the reference has no DP at all, SURVEY §2c).
     """
-    n = int(arrays[0].shape[0])
+    n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
     flats, tails = _flatten_for_gather(arrays)
+
+    if mesh is not None:
+        # A P('data') resident array needs its leading dim divisible by the
+        # data axis (uneven NamedSharding arrays cannot be constructed —
+        # parallel.multihost.padded_rows).  Pad with zero rows; the batch
+        # gathers only ever index rows < n so the padding is never trained.
+        n_data = int(mesh.shape.get("data", 1))
+        cur = int(flats[0].shape[0])
+        pad = (-cur) % n_data
+        if pad:
+            flats = tuple(
+                jnp.concatenate(
+                    [fa, jnp.zeros((pad,) + fa.shape[1:], fa.dtype)])
+                for fa in flats)
 
     # Single-buffer addressing boundary (measured on v5e): per-step row
     # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
@@ -107,20 +152,7 @@ def fit(
     # path is a mesh (dp_fit shards rows over 'data', keeping each
     # per-device shard under the boundary).
     if jax.devices()[0].platform == "tpu":
-        import os as _os
-        # with a mesh the rows shard over 'data': the boundary applies to
-        # the PER-DEVICE shard, not the global array
-        n_shards = 1 if mesh is None else int(mesh.shape.get("data", 1))
-        big = [f"{fa.shape} = {fa.nbytes / 2**30:.2f} GiB"
-               + (f" ({n_shards}-way sharded)" if n_shards > 1 else "")
-               for fa in flats if fa.nbytes / n_shards >= 2**31]
-        if big and not _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
-            raise ValueError(
-                f"dataset array(s) {big} exceed the single-TPU-buffer "
-                "2^31-byte gather boundary PER DEVICE and would crash the "
-                "TPU worker; shard over more 'data'-axis devices, or set "
-                "VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime supports "
-                "64-bit buffer addressing")
+        check_gather_buffer_boundary(flats, mesh)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -380,6 +412,7 @@ def encode_in_batches(
     arrays: Sequence[jnp.ndarray],
     batch_size: int = 512,
     to_host: bool = True,
+    n_rows: Optional[int] = None,        # valid rows if arrays carry padding
 ):
     """Full-set posterior-mean export (reference scripts/06:354-360,
     12:289-309, 19:268-287 latent dumps).
@@ -390,7 +423,7 @@ def encode_in_batches(
     fetch, instead of ceil(N/B) dispatch+fetch round trips (each ~seconds
     on remote-attached devices).  to_host=False keeps the latents
     HBM-resident for downstream device clustering."""
-    n = int(arrays[0].shape[0])
+    n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
     arrays = tuple(jnp.asarray(a) for a in arrays)
     flats, tails = _flatten_for_gather(arrays)
     nb = -(-n // batch_size)

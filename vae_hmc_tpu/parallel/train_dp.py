@@ -46,6 +46,7 @@ def dp_fit(
     variational: bool = True,
     verbose: bool = False,
     compute_dtype=None,
+    n_rows=None,
 ) -> FitResult:
     return fit(apply_fn, params, arrays,
                epochs=epochs, batch_size=batch_size,
@@ -53,7 +54,7 @@ def dp_fit(
                seed=seed, kl_anneal_epochs=kl_anneal_epochs,
                variational=variational, verbose=verbose,
                mesh=mesh, param_shardings=param_shardings,
-               compute_dtype=compute_dtype)
+               compute_dtype=compute_dtype, n_rows=n_rows)
 
 
 def kmeans_restarts_sharded(x, n_clusters: int, n_init: int, mesh,
