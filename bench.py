@@ -93,6 +93,29 @@ def main() -> None:
     vae_cfg = ConvMMVaeConfig()                # 25 epochs, batch 64
     ds = synthetic.make_dataset(n_tracks, seed=42, lyrics_coverage=0.9)
 
+    # Lyrics backend (round-2 verdict: the hashed path made seconds_lyrics
+    # an audio-only number wearing an end-to-end label).  Default "minilm"
+    # runs the REAL Flax transformer forward over every text — with the real
+    # checkpoint if VAE_HMC_MINILM_DIR is mounted, else with real-shaped
+    # synthetic weights (identical program and cost; mapping is golden-
+    # tested).  BENCH_LYRICS=hashed restores the cheap fallback backend.
+    lyrics_backend = os.environ.get("BENCH_LYRICS", "minilm")
+    minilm_state = None
+    if lyrics_backend == "minilm":
+        from vae_hmc_tpu.text import minilm as minilm_mod
+        texts_all = [ds.lyrics[i] or "" for i in range(n_tracks)]
+        mdir = os.environ.get("VAE_HMC_MINILM_DIR")
+        if mdir and os.path.isdir(mdir):
+            minilm_state = minilm_mod.load_minilm(mdir)
+            lyrics_backend = "minilm-flax (real checkpoint)"
+        else:
+            minilm_state = minilm_mod.synthetic_minilm(texts_all)
+            lyrics_backend = "minilm-flax (synthetic real-shaped weights)"
+        # warm the compile outside the timed region (persistent-cached
+        # anyway; model LOAD is setup, like the reference's model download)
+        minilm_mod.encode_texts(*minilm_state, texts_all[:1], batch_size=128,
+                                to_host=False)
+
     # =================== timed region ===================
     # stage 1: per batch, synthesize waveforms on device (stands in for the
     # decode stage) and immediately run the fused log-mel kernel.  ALL large
@@ -118,11 +141,19 @@ def main() -> None:
     jax.block_until_ready(x_mel)
     t1 = time.perf_counter()
 
-    # stage 2: lyrics embeddings (hashed fallback backend; script 11)
+    # stage 2: lyrics embeddings (script 11 — a sentence-transformer pass
+    # over every document in the reference, 11:84-93)
     texts = [ds.lyrics[i] or "" for i in range(n_tracks)]
     has = np.asarray([1.0 if ds.lyrics[i] else 0.0
                       for i in range(n_tracks)], np.float32)
-    lyr = hashed_embedding(texts, 384) * has[:, None]
+    if minilm_state is not None:
+        from vae_hmc_tpu.text.minilm import encode_texts
+        lyr = encode_texts(*minilm_state, texts, batch_size=128,
+                           to_host=False)          # stays HBM-resident
+        lyr = lyr * jnp.asarray(has)[:, None]
+        jax.block_until_ready(lyr)
+    else:
+        lyr = hashed_embedding(texts, 384) * has[:, None]
     t2 = time.perf_counter()
 
     # stage 3: conv multimodal VAE training (script 12); x_mel stays on device
@@ -151,6 +182,7 @@ def main() -> None:
         "seconds_total": round(total, 2),
         "seconds_features": round(t1 - t0, 2),
         "seconds_lyrics": round(t2 - t1, 2),
+        "lyrics_backend": lyrics_backend,
         "seconds_train": round(t3 - t2, 2),
         "seconds_cluster_metrics": round(t4 - t3, 2),
         "train_final_loss": round(res.history[-1]["total"], 4),

@@ -60,3 +60,27 @@ def test_minilm_forward_shapes_and_norm():
     ids2[0, 5] = 999
     out2 = model.apply(params, ids2, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_synthetic_minilm_and_fixed_shape_encode():
+    """synthetic_minilm builds the real parameter shapes + a corpus vocab;
+    encode_texts at a fixed pad length is batch-composition invariant (the
+    bench's single-program guarantee) and respects the padding."""
+    from vae_hmc_tpu.text.minilm import encode_texts, synthetic_minilm
+
+    texts = ["the rain falls down", "a song about love and loss",
+             "hello world", "", "the the the"]
+    model, params, tok = synthetic_minilm(texts)
+    p = params["params"]
+    cfg = MiniLMConfig()
+    assert p["tok_emb"]["embedding"].shape == (cfg.vocab_size, cfg.hidden)
+    assert p["layer5"]["ff1"]["kernel"].shape == (cfg.hidden,
+                                                  cfg.intermediate)
+    assert tok.vocab["rain"] > 3           # corpus words are whole entries
+
+    full = encode_texts(model, params, tok, texts, batch_size=2, pad_to=16)
+    assert full.shape == (5, 384)
+    np.testing.assert_allclose(np.linalg.norm(full, axis=-1), 1.0, atol=1e-5)
+    # different batching, same fixed shape -> identical embeddings
+    again = encode_texts(model, params, tok, texts, batch_size=5, pad_to=16)
+    np.testing.assert_allclose(full, again, rtol=1e-5, atol=1e-6)

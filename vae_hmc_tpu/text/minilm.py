@@ -238,12 +238,67 @@ def load_minilm(model_dir: Path):
     return model, {"params": p}, tok
 
 
-def encode_texts_minilm(texts: List[str], model_dir: Path,
-                        batch_size: int = 64) -> np.ndarray:
-    model, params, tok = load_minilm(model_dir)
+def synthetic_minilm(texts: List[str] = (), seed: int = 7):
+    """Real-shaped, randomly-initialized MiniLM + a corpus-derived vocab.
+
+    For benchmarking the transformer path when the real checkpoint cannot
+    be downloaded (zero-egress environments): the parameter shapes, program
+    structure and therefore compute cost are EXACTLY those of the real
+    all-MiniLM-L6-v2 forward (the weight mapping itself is golden-tested in
+    tests/test_minilm_mapping.py); only the values are random, so the
+    embeddings are meaningless for quality.  The vocab contains every word
+    of `texts` as a whole-word entry, so WordPiece matching walks the same
+    longest-match path it would with a real vocab instead of degenerating
+    to [UNK].
+    """
+    cfg = MiniLMConfig()
+    model = MiniLM(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed),
+                                 np.zeros((1, 4), np.int32),
+                                 np.ones((1, 4), np.float32))
+    vocab: Dict[str, int] = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9']+", t.lower()):
+            if len(vocab) >= cfg.vocab_size:
+                break
+            vocab.setdefault(w, len(vocab))
+    tok = WordPieceTokenizer(vocab, cfg.max_seq_len)
+    return model, params, tok
+
+
+def encode_texts(model, params, tok: WordPieceTokenizer, texts: List[str],
+                 batch_size: int = 128, pad_to: int = 0,
+                 to_host: bool = True):
+    """Batched encode at ONE fixed (batch, seq) shape -> one compiled
+    program.  (Padding each batch to its own max length — what a naive port
+    does — recompiles for every distinct length; at ~1 s/compile through a
+    remote compile service that dwarfs the forward itself.)
+
+    pad_to=0 pads to the tokenizer's max_len (256 — the sentence-
+    transformers truncation bound for this model, matching what real FMA
+    lyrics mostly hit).  to_host=False returns a device array (on tunneled
+    dev devices host readback is the slow direction).
+    """
+    pad_to = pad_to or tok.max_len
     jfn = jax.jit(lambda p, i, m: model.apply(p, i, m))
     outs = []
     for s in range(0, len(texts), batch_size):
         ids, mask = tok.encode_batch(texts[s: s + batch_size])
-        outs.append(np.asarray(jfn(params, ids, mask)))
-    return np.concatenate(outs, axis=0).astype(np.float32)
+        b, seq = ids.shape
+        if seq < pad_to:
+            ids = np.pad(ids, ((0, 0), (0, pad_to - seq)),
+                         constant_values=tok.pad)
+            mask = np.pad(mask, ((0, 0), (0, pad_to - seq)))
+        if b < batch_size:          # tail batch: keep the single shape
+            ids = np.pad(ids, ((0, batch_size - b), (0, 0)),
+                         constant_values=tok.pad)
+            mask = np.pad(mask, ((0, batch_size - b), (0, 0)))
+        outs.append(jfn(params, ids[:, :pad_to], mask[:, :pad_to])[:b])
+    out = jnp.concatenate(outs, axis=0)
+    return np.asarray(out, np.float32) if to_host else out
+
+
+def encode_texts_minilm(texts: List[str], model_dir: Path,
+                        batch_size: int = 64) -> np.ndarray:
+    model, params, tok = load_minilm(model_dir)
+    return encode_texts(model, params, tok, texts, batch_size=batch_size)
