@@ -44,3 +44,30 @@ def test_kmeans_deterministic(rng):
     a = kmeans_fit_predict(x, 4, n_init=5, seed=7)
     b = kmeans_fit_predict(x, 4, n_init=5, seed=7)
     np.testing.assert_array_equal(a, b)
+
+
+def test_dynamic_k_matches_static_at_bucket_boundary(rng):
+    """k == k_max: the dynamic-k bucketed program must reproduce the static
+    program EXACTLY (same RNG stream, same candidate counts, the masking is
+    inert) — the program-count cut cannot move published k=4/8 results."""
+    import jax
+    from vae_hmc_tpu.cluster.kmeans import _kmeans_impl, _kmeans_impl_dyn
+    x, _ = _blobs(rng, n=300, k=4)
+    key = jax.random.PRNGKey(3)
+    for k in (4, 8):
+        ls, cs, inert_s, _ = _kmeans_impl(x, key, k, 5, 300, 1e-4)
+        ld, cd, inert_d, _ = _kmeans_impl_dyn(x, key, k, k, 5, 300, 1e-4)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(ld))
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cd))
+        assert float(inert_s) == float(inert_d)
+
+
+def test_dynamic_k_nonbucket_quality(rng):
+    """k < k_max (k=5 in the k_max=8 program): padding rows must be inert —
+    exactly k clusters come out and quality still matches sklearn."""
+    x, y = _blobs(rng, n=400, k=5)
+    res = kmeans(x, KMeansConfig(n_clusters=5, n_init=10, seed=0))
+    assert res.centers.shape == (5, x.shape[1])
+    assert set(np.unique(res.labels)) == set(range(5))
+    sk = SkKMeans(n_clusters=5, n_init=10, random_state=42).fit(x)
+    assert res.inertia <= sk.inertia_ * 1.02

@@ -46,13 +46,22 @@ def _sq_dists_to_centers(x, centers):
                                    precision=jax.lax.Precision.HIGHEST), 0.0)
 
 
-def _kmeanspp_init(key, x, k: int):
-    """Greedy k-means++ (sklearn _kmeans_plusplus semantics)."""
+def _kmeanspp_init(key, x, k, k_max: Optional[int] = None):
+    """Greedy k-means++ (sklearn _kmeans_plusplus semantics).
+
+    With k_max, `k` may be a TRACED value (dynamic-k program bucketing):
+    the loop always runs k_max - 1 rounds, but rounds c >= k leave the
+    carry untouched, so rows c >= k of the returned centers stay zero —
+    callers must mask them out of assignment (_lloyd n_active).  With
+    k == k_max the computation is identical to the static path.
+    """
+    static = k_max is None
+    k_hi = int(k) if static else int(k_max)
     n = x.shape[0]
-    n_local_trials = 2 + int(np.floor(np.log(k)))
+    n_local_trials = 2 + int(np.floor(np.log(k_hi)))
     key, sub = jax.random.split(key)
     first = jax.random.randint(sub, (), 0, n)
-    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    centers0 = jnp.zeros((k_hi, x.shape[1]), x.dtype).at[0].set(x[first])
     d2 = _sq_dists_to_centers(x, centers0[:1])[:, 0]            # (N,)
 
     def body(c, carry):
@@ -73,16 +82,28 @@ def _kmeanspp_init(key, x, k: int):
         return centers, new_d2[:, best], key
 
     carry = (centers0, d2, key)
-    for c in range(1, k):                                       # k is static & small
-        carry = body(c, carry)
+    for c in range(1, k_hi):                                    # k_hi is static & small
+        if static:
+            carry = body(c, carry)
+        else:
+            centers, nd2, nkey = body(c, carry)
+            use = jnp.asarray(c) < k
+            carry = (jnp.where(use, centers, carry[0]),
+                     jnp.where(use, nd2, carry[1]), nkey)
     return carry[0]
 
 
-def _lloyd(x, centers, max_iter: int, tol_scaled):
+def _lloyd(x, centers, max_iter: int, tol_scaled, n_active=None):
+    """Lloyd iterations.  n_active (traced) masks center rows >= n_active
+    out of assignment and relocation for the dynamic-k bucketed program;
+    None means every row is live (static-k behavior, unchanged)."""
     k = centers.shape[0]
+    active = None if n_active is None else (jnp.arange(k) < n_active)
 
     def assign(centers):
         d2 = _sq_dists_to_centers(x, centers)
+        if active is not None:
+            d2 = jnp.where(active[None, :], d2, jnp.inf)
         labels = jnp.argmin(d2, axis=1)
         return labels, d2
 
@@ -97,9 +118,12 @@ def _lloyd(x, centers, max_iter: int, tol_scaled):
         # per-iteration matmul)
         d_own = jnp.min(d2, axis=1)
         order = jnp.argsort(-d_own)                             # farthest first
-        empty_rank = jnp.cumsum(counts == 0) - 1                # rank among empties
+        empty = counts == 0
+        if active is not None:
+            empty = empty & active          # inactive rows stay zero
+        empty_rank = jnp.cumsum(empty) - 1                      # rank among empties
         donor = x[order[jnp.clip(empty_rank, 0, x.shape[0] - 1)]]
-        return jnp.where((counts == 0)[:, None], donor, new)
+        return jnp.where(empty[:, None], donor, new)
 
     def cond(state):
         _, shift2, it, done = state
@@ -134,15 +158,45 @@ def _kmeans_impl(x, key, k: int, n_init: int, max_iter: int, tol: float):
     return labels[best], centers[best], inertias[best], n_iters[best]
 
 
+@partial(jax.jit, static_argnames=("k_max", "n_init", "max_iter"))
+def _kmeans_impl_dyn(x, key, k, k_max: int, n_init: int, max_iter: int,
+                     tol: float):
+    """Dynamic-k variant: k is TRACED, k_max static — one compiled program
+    serves every k <= k_max (a sweep over k in {4..8} is 2 programs, k_max
+    in {4, 8}, instead of 5; n_clusters was the bulk of the ~40 cold-start
+    compiles measured in round 2).  Rows >= k of the centers are inert:
+    zero, masked out of assignment, never relocated."""
+    x = jnp.asarray(x, jnp.float32)
+    tol_scaled = tol * jnp.mean(jnp.var(x, axis=0))
+    keys = jax.random.split(key, n_init)
+
+    def one_restart(kk):
+        centers0 = _kmeanspp_init(kk, x, k, k_max)
+        return _lloyd(x, centers0, max_iter, tol_scaled, n_active=k)
+
+    labels, centers, inertias, n_iters = jax.vmap(one_restart)(keys)
+    best = jnp.argmin(inertias)
+    return labels[best], centers[best], inertias[best], n_iters[best]
+
+
+def _bucket_k(k: int) -> int:
+    b = 2
+    while b < k:
+        b *= 2
+    return b
+
+
 def kmeans(x, cfg: KMeansConfig = KMeansConfig(),
            key: Optional[jax.Array] = None) -> KMeansResult:
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    labels, centers, inertia, n_iter = _kmeans_impl(
-        jnp.asarray(x), key, cfg.n_clusters, cfg.n_init, cfg.max_iter, cfg.tol)
+    k = cfg.n_clusters
+    k_max = _bucket_k(k)
+    labels, centers, inertia, n_iter = _kmeans_impl_dyn(
+        jnp.asarray(x), key, k, k_max, cfg.n_init, cfg.max_iter, cfg.tol)
     return KMeansResult(
         labels=np.asarray(labels, dtype=np.int32),
-        centers=np.asarray(centers),
+        centers=np.asarray(centers)[:k],     # drop inert bucket-padding rows
         inertia=float(inertia),
         n_iter=int(n_iter),
     )

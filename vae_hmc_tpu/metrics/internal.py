@@ -26,6 +26,22 @@ def _as_codes(labels) -> np.ndarray:
     return codes.astype(np.int32)
 
 
+def _bucket_k(k: int) -> int:
+    """Round a cluster count up to {2, 4, 8, 16, 32, ...}.
+
+    n_clusters is a STATIC jit argument: a sweep whose cells find many
+    distinct cluster counts (DBSCAN especially) otherwise compiles one
+    program per count per operand shape — the bulk of the ~40 cold-start
+    compiles measured in round 2 (VALIDATION.md).  The masked metric
+    programs tolerate trailing always-empty clusters exactly (empty columns
+    are masked out of every reduction), so padding k to a bucket collapses
+    the program count to the handful of bucket sizes."""
+    b = 2
+    while b < k:
+        b *= 2
+    return b
+
+
 def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     """Squared euclidean distances via the MXU: |a|^2 + |b|^2 - 2ab, clamped.
 
@@ -122,8 +138,10 @@ def silhouette_from_dists_masked(d, labels, lazy: bool = False) -> float:
         raise ValueError("need >= 2 clusters among non-noise points")
     lut = {c: i for i, c in enumerate(classes)}
     codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
+    # bucketed k: the (counts == 0) term of `mask` already excludes the
+    # padding clusters from b's min, and no point carries their code
     out = _silhouette_from_d_masked(jnp.asarray(d, jnp.float32),
-                                    jnp.asarray(codes), k)
+                                    jnp.asarray(codes), _bucket_k(k))
     return out if lazy else float(out)
 
 
@@ -178,15 +196,19 @@ def _dbi_impl_masked(x, codes, n_clusters: int):
     safe_codes = jnp.where(valid, codes, 0)
     onehot = (jax.nn.one_hot(safe_codes, n_clusters, dtype=jnp.float32)
               * valid[:, None].astype(jnp.float32))
-    counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+    raw_counts = jnp.sum(onehot, axis=0)
+    nonempty = raw_counts > 0       # bucketed-k padding clusters are empty
+    counts = jnp.maximum(raw_counts, 1.0)
     centroids = jnp.matmul(onehot.T, x,
                            precision=jax.lax.Precision.HIGHEST) / counts[:, None]
     d_pc = jnp.sqrt(pairwise_sq_dists(x, centroids))                 # (N, k)
     s = jnp.sum(d_pc * onehot, axis=0) / counts                      # (k,)
     m = jnp.sqrt(pairwise_sq_dists(centroids))                       # (k, k)
     r = (s[:, None] + s[None, :]) / jnp.where(m > 0, m, jnp.inf)
-    r = jnp.where(jnp.eye(n_clusters, dtype=bool), -jnp.inf, r)
-    return jnp.mean(jnp.max(r, axis=1))
+    live = nonempty[:, None] & nonempty[None, :]
+    r = jnp.where(live & ~jnp.eye(n_clusters, dtype=bool), r, -jnp.inf)
+    per = jnp.where(nonempty, jnp.max(r, axis=1), 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(nonempty), 1)
 
 
 def davies_bouldin_masked(x, labels, lazy: bool = False) -> float:
@@ -200,7 +222,7 @@ def davies_bouldin_masked(x, labels, lazy: bool = False) -> float:
         raise ValueError("davies_bouldin requires >= 2 clusters")
     lut = {c: i for i, c in enumerate(classes)}
     codes = np.asarray([lut.get(l, -1) for l in labels], dtype=np.int32)
-    out = _dbi_impl_masked(jnp.asarray(x), jnp.asarray(codes), k)
+    out = _dbi_impl_masked(jnp.asarray(x), jnp.asarray(codes), _bucket_k(k))
     return out if lazy else float(out)
 
 
