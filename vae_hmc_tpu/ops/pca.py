@@ -100,19 +100,33 @@ def _fit_impl(x, k: int, mode: str):
     return mean, vt, var, var / total_var
 
 
+ArrayAttr = Optional["np.ndarray | jax.Array"]
+
+
 @dataclass
 class PCA:
     n_components: int
-    # device (or host) arrays; np.asarray() them for host consumers
-    mean_: Optional[np.ndarray] = None
-    components_: Optional[np.ndarray] = None          # (k, d)
-    explained_variance_: Optional[np.ndarray] = None
-    explained_variance_ratio_: Optional[np.ndarray] = None
+    # fitted attributes are DEVICE arrays (jax.Array) — np.asarray() them
+    # for host consumers; do not mutate or pickle them in place
+    mean_: ArrayAttr = None
+    components_: ArrayAttr = None                     # (k, d)
+    explained_variance_: ArrayAttr = None
+    explained_variance_ratio_: ArrayAttr = None
+    n_components_: Optional[int] = None               # actual k after capping
 
     def fit(self, x) -> "PCA":
         x = jnp.asarray(x, dtype=jnp.float32)
         n, d = x.shape
         kk = min(self.n_components, n, d)
+        if kk < self.n_components:
+            # sklearn raises here; capping keeps tiny synthetic runs
+            # working (N < pca_dim), but must not be silent
+            import warnings
+            warnings.warn(
+                f"PCA n_components={self.n_components} > min(n_samples, "
+                f"n_features)={kk}; fitting {kk} components "
+                "(sklearn would raise)", stacklevel=2)
+        self.n_components_ = kk
         # Factor on the SMALLER side (the (n, n) Gram matrix for wide data
         # like the 82k-dim mel-flat rep, the (d, d) scatter matrix for thin
         # data) — one MXU matmul + an eigh of the small side instead of an

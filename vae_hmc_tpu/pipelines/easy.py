@@ -241,7 +241,73 @@ def compare_pca_baseline(ws: Workspace,
     report["files"] = {"metrics_csv": str(out_dir / "metrics.csv")}
     (out_dir / "metrics_report.json").write_text(
         json.dumps(report, indent=2, default=float))
+    _print_pca_interpretation(rows, report, latent_dim)
     return {"rows": rows, "report": report}
+
+
+def _print_pca_interpretation(rows, report: Dict, latent_dim: int) -> None:
+    """Reference script 09's stdout interpretation narrative (09:308-442):
+    comparison tables, VAE-vs-PCA verdict bullets, and the key findings
+    block.  stdout-only behavior parity — no file contract."""
+    def table(rs):
+        widths = {h: max(len(h), *(len(str(r[h])) for r in rs))
+                  for h in rs[0]}
+        print("  ".join(h.ljust(widths[h]) for h in rs[0]))
+        for r in rs:
+            print("  ".join(str(r[h]).ljust(widths[h]) for h in r))
+
+    def verdict(vae_sil, pca_sil, subject: str):
+        if vae_sil is None or pca_sil is None:
+            return
+        if vae_sil > pca_sil and pca_sil:
+            diff = (vae_sil - pca_sil) / abs(pca_sil) * 100
+            print(f"  • VAE outperforms PCA by {diff:+.1f}% on Silhouette "
+                  "Score")
+            print("  • VAE's non-linear compression is better for clustering")
+        elif pca_sil > vae_sil and vae_sil:
+            diff = (pca_sil - vae_sil) / abs(vae_sil) * 100
+            print(f"  • PCA outperforms VAE by {diff:+.1f}% on Silhouette "
+                  "Score")
+            print("  • Linear PCA is sufficient for this data")
+        else:
+            print("  • VAE and PCA perform similarly")
+
+    vae_sil = report["vae_metrics"].get("silhouette")
+    print("\nCOMPARISON RESULTS (VAE vs PCA on MFCC features):")
+    print("-" * 60)
+    if "pca_mfcc" in report:
+        table(rows[:2])
+        print("\nInterpretation (MFCC comparison):")
+        verdict(vae_sil, report["pca_mfcc"].get("silhouette"), "MFCC")
+        print(f"  • PCA captures {report['pca_mfcc']['explained_variance']:.1%}"
+              " of MFCC variance")
+    else:
+        print("  MFCC comparison not available (run with --cache_features)")
+
+    print("\n" + "=" * 60)
+    print("COMPARISON RESULTS (VAE vs PCA on VAE latents):")
+    print("-" * 60)
+    table([rows[0], rows[-1]])
+    print("\nInterpretation (VAE latents comparison):")
+    pl = report["pca_latents"]
+    if vae_sil is not None and pl.get("silhouette") is not None:
+        identical = abs(vae_sil - pl["silhouette"]) < 1e-4
+        print(f"  • Scores are {'identical' if identical else 'similar'}")
+        print(f"  • PCA captures {pl['explained_variance']:.1%} of VAE "
+              "latent variance")
+        if pl["explained_variance"] > 0.99:
+            print(f"  • PCA({latent_dim}) on {latent_dim}D data "
+                  "≈ identity transformation")
+
+    print("\n" + "=" * 60)
+    print("KEY FINDINGS:")
+    print("=" * 60)
+    if "pca_mfcc" in report:
+        verdict(vae_sil, report["pca_mfcc"].get("silhouette"), "MFCC")
+    print("✓ Original identical results explained: PCA on VAE latents is "
+          "redundant")
+    print(f"  → PCA captures {pl['explained_variance']:.1%} of VAE latent "
+          "variance")
 
 
 def run_easy_pipeline(source: Source, ws: Workspace,

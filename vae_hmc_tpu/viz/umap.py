@@ -10,7 +10,10 @@ pipeline (McInnes, Healy & Melville 2018) implemented TPU-first —
      binary-searched so sum_j exp(-(d_ij - rho_i)+ / sigma_i) = log2(k),
      symmetrized by fuzzy union W + Wt - W*Wt;
   3. spectral initialization: leading nontrivial eigenvectors of the
-     normalized graph Laplacian (dense eigh — N~3k is trivial on device);
+     normalized graph Laplacian — dense eigh only up to N=512; past that a
+     deflated block-subspace iteration (ops/subspace.py), because the
+     unrolled TPU eigh lowering compiles to ~183 MB executables at N~3k
+     (the round-2 giant-executable finding);
   4. SGD with negative sampling: per-epoch vectorized pass over all graph
      edges using umap-learn's epoch_of_next_sample scheduling, attractive
      gradient -2ab d^(2(b-1)) / (1 + a d^(2b)) on both endpoints,
