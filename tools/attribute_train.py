@@ -44,6 +44,14 @@ def main() -> None:
     n = args.n
     key = jax.random.PRNGKey(0)
 
+    # Pay the axon per-process connection setup FIRST and report it on its
+    # own line: the first dispatched program of a process stalls ~100-170 s
+    # in the tunnel service (measured: trivial 4-elem sum 96.7-173.3 s cold,
+    # 0.0 s once warm).  Without this, whatever is timed first eats it.
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.ones((4,))))
+    t_connect = time.perf_counter() - t0
+
     # synthesize inputs ON DEVICE (eager jax.random.normal for big arrays
     # materializes host-side on the axon platform — CLAUDE.md)
     x = jax.jit(lambda k: jax.random.normal(
@@ -51,7 +59,8 @@ def main() -> None:
     lyr = jax.jit(lambda k: jax.random.normal(
         k, (n, cfg.lyrics_dim), jnp.float32))(key)
     mask = jnp.ones((n, 1), jnp.float32)
-    jax.block_until_ready(x)
+    # sync via a scalar reduction fetch — block_until_ready is unreliable here
+    float(jnp.sum(mask)) + float(jnp.sum(x[0, 0, 0])) + float(jnp.sum(lyr[0, :2]))
 
     from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE
     from vae_hmc_tpu.models.train import encode_in_batches, fit
@@ -61,8 +70,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     params = jax.jit(model.init)(key, x[:1], lyr[:1], mask[:1], key)
-    # force completion of the init program (small tree -> cheap fetch)
-    jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], params)
+    # force completion via ONE tiny scalar fetch (fetching the params tree
+    # would pull the two ~170 MB FC kernels through the ~1 MB/s tunnel and
+    # time the tunnel, not the init — measured 429 s that way)
+    float(jnp.sum(params["params"]["mu"]["bias"]))
     t_init = time.perf_counter() - t0
 
     def apply_fn(p, rng, xb, lb, mb):
@@ -82,6 +93,10 @@ def main() -> None:
         return model.apply(p, xb, lb, mb, method=model.encode)[0]
     mu = encode_in_batches(encode_mu, res.params, (x, lyr, mask))
     t_export = time.perf_counter() - t0
+    # second export: program is compiled/loaded, so this is pure run+fetch
+    t0 = time.perf_counter()
+    mu = encode_in_batches(encode_mu, res.params, (x, lyr, mask))
+    t_export_warm = time.perf_counter() - t0
 
     # ---- FLOPs from XLA's cost model on the per-step program -------------
     steps_per_epoch = n // cfg.batch_size + (1 if n % cfg.batch_size else 0)
@@ -112,9 +127,11 @@ def main() -> None:
     out = {
         "n": n, "epochs": cfg.epochs, "batch": cfg.batch_size,
         "total_steps": total_steps,
+        "seconds_connect": round(t_connect, 2),
         "seconds_init": round(t_init, 2),
         "seconds_fit_total": round(t_fit, 2),
         "seconds_export": round(t_export, 2),
+        "seconds_export_warm": round(t_export_warm, 2),
         "per_step_flops": step_flops,
         "final_loss": round(res.history[-1]["total"], 4),
         "mu_shape": list(np.asarray(mu).shape),
