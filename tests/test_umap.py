@@ -84,3 +84,54 @@ def test_edge_list_covers_symmetric_graph_once(rng):
     dense = np.zeros_like(W)
     np.add.at(dense, (heads, tails), weights)       # duplicates would sum
     np.testing.assert_allclose(dense, W, atol=1e-6)
+
+
+def test_edge_weights_match_dense_path(rng):
+    """The edge-wise fuzzy union (_edge_weights, the hot path — no dense W)
+    must reproduce _edge_list(_build_w(...)) element-for-element: same
+    layout, same weights, same mutual-pair zeroing."""
+    import jax.numpy as jnp
+    from vae_hmc_tpu.viz.umap import (_build_w, _edge_list, _edge_weights,
+                                      _knn, _smooth_knn)
+
+    x = jnp.asarray(rng.normal(0, 1, (60, 4)).astype(np.float32))
+    knn_d, knn_i = _knn(x, 8)
+    rho, sigma = _smooth_knn(knn_d)
+    W = _build_w(knn_d, knn_i, rho, sigma)
+    h_ref, t_ref, w_ref = map(np.asarray, _edge_list(W, knn_i))
+    h, t, w = map(np.asarray, _edge_weights(knn_d, knn_i, rho, sigma))
+    np.testing.assert_array_equal(h, h_ref)
+    np.testing.assert_array_equal(t, t_ref)
+    np.testing.assert_allclose(w, w_ref, atol=1e-6)
+
+
+def test_spectral_init_sparse_matches_dense(rng):
+    """Sparse (edge-list matvec) spectral init is the SAME deflated
+    subspace iteration as the dense n>512 path (ops/subspace
+    topk_eigh_deflated: same seed, same m, same Löwdin/deflate schedule) —
+    only A·V changes from a dense matmul to gather+segment-sum.  Compare
+    the top-2 subspaces by principal angles (rotation within a
+    near-degenerate pair is arbitrary; exact-eigh is NOT the oracle here —
+    both iterative paths resolve degenerate pairs identically)."""
+    import jax.numpy as jnp
+    from vae_hmc_tpu.ops.subspace import topk_eigh_deflated
+    from vae_hmc_tpu.viz.umap import (_build_w, _edge_weights, _knn,
+                                      _smooth_knn, _spectral_init_sparse)
+
+    x = jnp.asarray(
+        np.concatenate([rng.normal(0, 1, (40, 4)),
+                        rng.normal(6, 1, (40, 4))]).astype(np.float32))
+    knn_d, knn_i = _knn(x, 8)
+    rho, sigma = _smooth_knn(knn_d)
+    W = _build_w(knn_d, knn_i, rho, sigma)
+    heads, tails, weights = _edge_weights(knn_d, knn_i, rho, sigma)
+    n = int(x.shape[0])
+    d = jnp.maximum(jnp.sum(W, axis=1), 1e-8)
+    inv_sqrt = 1.0 / jnp.sqrt(d)
+    S = inv_sqrt[:, None] * W * inv_sqrt[None, :]
+    _, y_dense = topk_eigh_deflated(S + jnp.eye(n), jnp.sqrt(d), 2)
+    y_sparse = np.asarray(_spectral_init_sparse(heads, tails, weights, n))
+    qd, _ = np.linalg.qr(np.asarray(y_dense))
+    qs, _ = np.linalg.qr(y_sparse)
+    sv = np.linalg.svd(qd.T @ qs, compute_uv=False)   # cos principal angles
+    np.testing.assert_allclose(sv, 1.0, atol=1e-3)

@@ -8,12 +8,16 @@ pipeline (McInnes, Healy & Melville 2018) implemented TPU-first —
   1. exact kNN from one (N, N) device distance matmul + top_k;
   2. fuzzy simplicial set: rho = nearest-neighbor distance, per-point sigma
      binary-searched so sum_j exp(-(d_ij - rho_i)+ / sigma_i) = log2(k),
-     symmetrized by fuzzy union W + Wt - W*Wt;
+     symmetrized by fuzzy union W + Wt - W*Wt — computed EDGE-WISE on the
+     (i, knn(i)) pairs (_edge_weights); the dense-W scatter build exists
+     only for the small-graph API (fuzzy_simplicial_set) because every TPU
+     scatter formulation of it compiles to ~7 MB of code at N=3k that each
+     fresh process re-loads through the device service (round-3 finding);
   3. spectral initialization: leading nontrivial eigenvectors of the
-     normalized graph Laplacian — dense eigh only up to N=512; past that a
-     deflated block-subspace iteration (ops/subspace.py), because the
-     unrolled TPU eigh lowering compiles to ~183 MB executables at N~3k
-     (the round-2 giant-executable finding);
+     normalized graph Laplacian via deflated block-subspace iteration with
+     SPARSE matvecs (gather + segment-sum over the edge list) — dense eigh
+     unrolls to ~183 MB executables at N~3k (the round-2 finding), and the
+     dense-W subspace path still pays the scatter build above;
   4. SGD with negative sampling: per-epoch vectorized pass over all graph
      edges using umap-learn's epoch_of_next_sample scheduling, attractive
      gradient -2ab d^(2(b-1)) / (1 + a d^(2b)) on both endpoints,
@@ -69,7 +73,12 @@ def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
 @partial(jax.jit, static_argnames=("k",))
 def _knn(x, k: int):
     d = jnp.sqrt(pairwise_sq_dists(x))
-    d = d.at[jnp.arange(d.shape[0]), jnp.arange(d.shape[0])].set(jnp.inf)
+    # mask the diagonal with where(eye), NOT a .at[arange, arange].set:
+    # the 2-D-index scatter lowers to ~5 MB of TPU code at N=3k and this
+    # program is re-loaded through the tunnel by every fresh process
+    # (measured: 0.10 MB this way — tools/profile_viz_programs.py)
+    eye = jnp.eye(d.shape[0], dtype=bool)
+    d = jnp.where(eye, jnp.inf, d)
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx                    # (N, k) ascending distances
 
@@ -154,6 +163,83 @@ def _edge_list(Wsym, knn_i):
 
 
 @jax.jit
+def _edge_weights(knn_d, knn_i, rho, sigma):
+    """Fuzzy-union edge list straight from the kNN arrays — no dense (N, N)
+    intermediate.
+
+    Every TPU scatter that builds the dense W compiles to ~7 MB of code at
+    N=3k (measured across .at[] / segment_sum / vmapped-row formulations),
+    and each fresh process re-pays that executable's transfer through the
+    device service.  The union only ever has mass on (i, knn(i)) pairs, so
+    it is computed edge-wise instead:
+
+      W[i,c]   = w[i,j]                      (i's own membership row)
+      W[c,i]   = w[c,j'] where knn(c)[j']==i (0 when i is not in knn(c))
+      W_sym    = W[i,c] + W[c,i] - W[i,c]*W[c,i]
+
+    Output layout is IDENTICAL to _edge_list(_build_w(...)): direct edges
+    first, reverse copies second with mutual pairs weight-zeroed so each
+    directed edge carries mass exactly once
+    (tests/test_umap.py::test_edge_weights_match_dense_path)."""
+    n, k = knn_i.shape
+    w = jnp.exp(-jnp.maximum(knn_d - rho[:, None], 0.0) / sigma[:, None])
+    rows = jnp.repeat(jnp.arange(n), k)
+    cols = knn_i.reshape(-1)                  # (N*k,)
+    w_ic = w.reshape(-1)
+    kic = knn_i[cols]                         # (N*k, k) 1-D row gathers:
+    wc = w[cols]                              # small code, unlike scatters
+    hit = kic == rows[:, None]
+    w_ci = jnp.sum(jnp.where(hit, wc, 0.0), axis=1)
+    mutual = jnp.any(hit, axis=1)
+    w_dir = w_ic + w_ci - w_ic * w_ci         # fuzzy union, = W_sym[i, c]
+    w_rev = jnp.where(mutual, 0.0, w_dir)
+    heads = jnp.concatenate([rows, cols])
+    tails = jnp.concatenate([cols, rows])
+    weights = jnp.concatenate([w_dir, w_rev])
+    return heads, tails, weights
+
+
+@partial(jax.jit, static_argnames=("n", "n_iter", "oversample"))
+def _spectral_init_sparse(heads, tails, weights, n: int, n_iter: int = 150,
+                          oversample: int = 8):
+    """Spectral init from the edge list: identical operator to
+    _spectral_init (deflated top-2 of 2I - L = I + D^{-1/2} W D^{-1/2}) but
+    every A·V is a gather + segment-sum over edges instead of a dense
+    (N, N) matmul — program size is O(1) in BOTH n and the dense-W scatter
+    it replaces, and the edge formulation is the one that scales past the
+    point where a dense W fits HBM."""
+    from vae_hmc_tpu.ops.subspace import _HI, _loewdin
+
+    deg = jnp.maximum(
+        jax.ops.segment_sum(weights, heads, num_segments=n), 1e-8)
+    inv_sqrt = 1.0 / jnp.sqrt(deg)
+    u0 = jnp.sqrt(deg)
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0), 1e-30)
+    wcol = weights[:, None]
+
+    def matvec(v):                            # (I + S) v, S = D^-1/2 W D^-1/2
+        u = inv_sqrt[:, None] * v
+        s = jax.ops.segment_sum(wcol * u[tails], heads, num_segments=n)
+        return v + inv_sqrt[:, None] * s
+
+    def deflate(z):
+        return z - jnp.outer(u0, jnp.matmul(u0, z, precision=_HI))
+
+    m = min(n - 1, 2 + oversample)
+    q = jax.random.normal(jax.random.PRNGKey(0), (n, m), jnp.float32)
+
+    def body(_, q):
+        return _loewdin(deflate(matvec(q)))
+
+    q = jax.lax.fori_loop(0, n_iter, body, _loewdin(deflate(q)))
+    t = jnp.matmul(q.T, matvec(q), precision=_HI)
+    _, v = jnp.linalg.eigh(t)                 # ascending
+    y0 = jnp.matmul(q, v[:, ::-1][:, :2], precision=_HI)
+    scale = 10.0 / jnp.maximum(jnp.max(jnp.abs(y0)), 1e-8)
+    return y0 * scale
+
+
+@jax.jit
 def _spectral_init(W):
     """Leading nontrivial eigenvectors of the normalized Laplacian, scaled
     to the +-10 box umap-learn uses.
@@ -200,17 +286,24 @@ def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
         g = jnp.where(active[:, None], g, 0.0)
         y = y.at[heads].add(alpha * g)
         y = y.at[tails].add(-alpha * g)
-        # negative sampling: neg_rate uniform points repel each active head
+        # negative sampling: neg_rate uniform points repel each active head.
+        # One (E, R) fancy gather compiles to ~18 MB of TPU code (the
+        # reshape fuses into the gather); R separate 1-D row gathers,
+        # summed as we go, compile to ~1 MB and are the same math in the
+        # same accumulation order as jnp.sum(..., axis=1) over r=0..R-1.
         key, sub = jax.random.split(key)
         negs = jax.random.randint(sub, (e, neg_rate), 0, n)
         yh = y[heads]                                   # post-attraction
-        diff_n = yh[:, None, :] - y[negs]               # (E, R, 2)
-        d2n = jnp.sum(diff_n * diff_n, axis=-1)
-        coeff_n = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
-        gn = jnp.clip(coeff_n[..., None] * diff_n, -4.0, 4.0)
-        gn = jnp.where(d2n[..., None] > 0.0, gn, 4.0)   # umap: stuck pairs
-        gn = jnp.where(active[:, None, None], gn, 0.0)
-        y = y.at[heads].add(alpha * jnp.sum(gn, axis=1))
+        gn_sum = jnp.zeros_like(yh)                     # (E, 2)
+        for r in range(neg_rate):
+            diff_n = yh - y[negs[:, r]]                 # (E, 2)
+            d2n = jnp.sum(diff_n * diff_n, axis=1)
+            coeff_n = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
+            gn = jnp.clip(coeff_n[:, None] * diff_n, -4.0, 4.0)
+            gn = jnp.where(d2n[:, None] > 0.0, gn, 4.0)  # umap: stuck pairs
+            gn_sum = gn_sum + gn
+        gn_sum = jnp.where(active[:, None], gn_sum, 0.0)
+        y = y.at[heads].add(alpha * gn_sum)
         eons = jnp.where(active, eons + eps_per_sample, eons)
         return y, eons, key
 
@@ -230,10 +323,9 @@ def umap_2d(x, n_neighbors: int = 15, min_dist: float = 0.1,
         n_epochs = 500 if n <= 10000 else 200    # umap-learn default
     knn_d, knn_i = _knn(x, n_neighbors)
     rho, sigma = _smooth_knn(knn_d)
-    W = _build_w(knn_d, knn_i, rho, sigma)
-    heads, tails, weights = _edge_list(W, knn_i)
+    heads, tails, weights = _edge_weights(knn_d, knn_i, rho, sigma)
     eps_per_sample = _eps_per_sample(weights, int(n_epochs))
-    y0 = _spectral_init(W)
+    y0 = _spectral_init_sparse(heads, tails, weights, n)
     key = jax.random.PRNGKey(seed)
     # small init jitter (umap adds 1e-4-scale noise to spectral init)
     y0 = y0 + 1e-4 * jax.random.normal(key, y0.shape)
