@@ -101,7 +101,7 @@ def test_tier_runners_write_timing_reports(tmp_path):
         DenseVaeConfig(latent_dim=4, epochs=2, batch_size=8),
         KMeansConfig(n_clusters=3, n_init=2), with_viz=False)
     rep = json.loads((ws.results / "timing_easy.json").read_text())
-    assert set(rep["seconds"]) == {"train_basic_vae", "cluster_easy",
-                                   "compare_pca_baseline"}
+    assert set(rep["seconds"]) == {"connect", "train_basic_vae",
+                                   "cluster_easy", "compare_pca_baseline"}
     assert rep["total_seconds"] > 0
     assert out["timing"]["items_per_second"]["train_basic_vae"] > 0

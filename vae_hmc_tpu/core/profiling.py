@@ -77,3 +77,25 @@ def annotate(name: str):
 def log(msg: str) -> None:
     if os.environ.get("VAE_HMC_VERBOSE"):
         print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
+
+
+def warm_connection(timer: Optional["StageTimer"] = None) -> float:
+    """Pay the device runtime's per-process first-dispatch cost on a trivial
+    program and return the seconds it took.
+
+    On tunneled dev devices the first dispatched program of a process can
+    stall minutes in connection setup (measured 96-202 s on the dev chip;
+    ~0 s when the service is warm).  Calling this at pipeline start pins
+    that cost to its own `connect` stage so every real stage in
+    timing_<tier>.json measures pipeline work, not tunnel weather.  Synced
+    by a scalar fetch — block_until_ready is unreliable on async tunneled
+    platforms.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.ones((4,), jnp.float32)))
+    dt = time.perf_counter() - t0
+    if timer is not None:
+        timer.stages["connect"] = timer.stages.get("connect", 0.0) + dt
+    return dt

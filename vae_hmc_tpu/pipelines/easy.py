@@ -319,8 +319,9 @@ def run_easy_pipeline(source: Source, ws: Workspace,
                       verbose: bool = False) -> Dict:
     """Full easy tier (06 -> 07 -> 08 -> 09) in one call.  Writes a
     per-stage wall-clock report to results/timing_easy.json."""
-    from vae_hmc_tpu.core.profiling import StageTimer
+    from vae_hmc_tpu.core.profiling import StageTimer, warm_connection
     timer = StageTimer()
+    warm_connection(timer)
     n = len(source)
     with timer.stage("train_basic_vae", n):
         t = train_basic_vae(source, ws, mfcc_cfg, vae_cfg,

@@ -368,8 +368,9 @@ def run_hard_pipeline(source: Source, ws: Workspace,
                       tag: Optional[str] = None,
                       with_viz: bool = True, device_batch: int = 64,
                       verbose: bool = False) -> Dict:
-    from vae_hmc_tpu.core.profiling import StageTimer
+    from vae_hmc_tpu.core.profiling import StageTimer, warm_connection
     timer = StageTimer()
+    warm_connection(timer)
     n = len(source)
     with timer.stage("prepare_features", n):
         prep = prepare_features(source, ws, mfcc_cfg, text_cfg, device_batch)

@@ -599,8 +599,9 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     device for the whole pipeline — feature extraction feeds training and
     the sweep in place, and the only full-tensor device->host fetch is the
     optional audio_cnn_mel_X.npy write (write_mel_features)."""
-    from vae_hmc_tpu.core.profiling import StageTimer
+    from vae_hmc_tpu.core.profiling import StageTimer, warm_connection
     timer = StageTimer()
+    warm_connection(timer)
     n_src = len(source)
     genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
                                                 source.genres)}
