@@ -50,14 +50,24 @@ def build_mfcc_stats(
     min_duration are skipped; stats are masked to true frame counts.
     """
     n = len(source)
-    feats, ids, rows = [], [], []
     masked = cfg.min_duration_s > 0
     min_len = int(cfg.sample_rate * cfg.min_duration_s)
+    # Per-batch results stay ON DEVICE; the stats and finite flags cross to
+    # host in ONE concatenated fetch after the loop.  A per-batch
+    # np.asarray here serializes the pipeline into ~46 blocking tunnel
+    # round-trips at 3k tracks (the same finding that took build_logmel
+    # from 177.7 s to 16.4 s — VALIDATION.md).
+    f_parts, meta = [], []            # meta: (tid, pstr, err, length)
     # background host decode overlaps device compute (io.staging)
     for idx, payload in prefetch_batches(
             lambda ix: source.waveforms(ix, cfg.duration_s),
             batched_indices(n, device_batch)):
         batch, lengths, errors = payload
+        if strict:
+            for r, e in enumerate(errors):
+                if e is not None:
+                    raise RuntimeError(
+                        f"track {int(source.track_ids[idx[r]])}: {e}")
         if masked and int(np.min(lengths)) < cfg.n_samples:
             # keep true lengths: short clips are NOT padded into the stats
             # (reference 18:88 loads duration<=20 s at true length); the
@@ -68,29 +78,36 @@ def build_mfcc_stats(
                                       cfg.n_samples, cfg.n_fft)
                 for r in range(len(idx))
             ])
-            f = np.asarray(mfcc_ops.mfcc_stats_batch(
-                jnp.asarray(staged), cfg, lengths=jnp.asarray(lengths)))
+            f = mfcc_ops.mfcc_stats_batch(
+                jnp.asarray(staged), cfg, lengths=jnp.asarray(lengths))
         else:
             # all clips full-length: masked stats == plain stats
-            f = np.asarray(mfcc_ops.mfcc_stats_batch(jnp.asarray(batch), cfg))
-        for r, i in enumerate(idx):
-            tid = int(source.track_ids[i])
-            path = getattr(source, "paths", None)
-            pstr = str(path[i]) if path is not None else f"synthetic://{tid}"
-            if errors[r] is not None:
-                if strict:
-                    raise RuntimeError(f"track {tid}: {errors[r]}")
-                rows.append((tid, pstr, "error", errors[r]))
-                continue
-            if masked and int(lengths[r]) < min_len:   # <1 s skip (ref 18:88)
-                rows.append((tid, pstr, "skipped", "too_short"))
-                continue
-            if not np.all(np.isfinite(f[r])):
-                rows.append((tid, pstr, "error", "non_finite_features"))
-                continue
-            feats.append(f[r])
-            ids.append(tid)
-            rows.append((tid, pstr, "ok", ""))
+            f = mfcc_ops.mfcc_stats_batch(jnp.asarray(batch), cfg)
+        f_parts.append(f)
+        path = getattr(source, "paths", None)
+        meta.extend(
+            (int(source.track_ids[i]),
+             (str(path[i]) if path is not None
+              else f"synthetic://{int(source.track_ids[i])}"),
+             errors[r], int(lengths[r]))
+            for r, i in enumerate(idx))
+    if not f_parts:
+        raise RuntimeError("no tracks produced features")
+    f_all = np.asarray(jnp.concatenate(f_parts))             # ONE fetch
+    feats, ids, rows = [], [], []
+    for r, (tid, pstr, err, length) in enumerate(meta):
+        if err is not None:
+            rows.append((tid, pstr, "error", err))
+            continue
+        if masked and length < min_len:            # <1 s skip (ref 18:88)
+            rows.append((tid, pstr, "skipped", "too_short"))
+            continue
+        if not np.all(np.isfinite(f_all[r])):
+            rows.append((tid, pstr, "error", "non_finite_features"))
+            continue
+        feats.append(f_all[r])
+        ids.append(tid)
+        rows.append((tid, pstr, "ok", ""))
     if not feats:
         raise RuntimeError("no tracks produced features")
     return (np.stack(feats).astype(np.float32),
