@@ -149,6 +149,43 @@ def test_gather_buffer_boundary_scales_with_data_axis():
     assert not oversize_gather_buffers([mel6000], None)
 
 
+def test_dp_fit_trains_past_single_chip_row_envelope():
+    """N=8,000 rows — the row count whose mel buffer (2.64 GiB) crashes the
+    single-chip TPU runtime (VALIDATION.md scale envelope) — trains fine
+    through dp_fit: rows shard over 'data', so each device holds 1/4 of the
+    buffer.  Feature dim is scaled down for CI (the crash mechanism is the
+    per-step row gather from one oversized device buffer; the row-gather
+    topology is what this exercises at the real row count), and the real
+    2.64 GiB arithmetic is asserted via the production guard."""
+    import jax.numpy as jnp
+
+    from vae_hmc_tpu.models.dense_vae import DenseVAE
+    from vae_hmc_tpu.models.train import oversize_gather_buffers
+    from vae_hmc_tpu.parallel.mesh import make_mesh
+    from vae_hmc_tpu.parallel.train_dp import dp_fit
+
+    n, d = 8000, 16
+    mesh = make_mesh(4, shape=(4, 1))
+    # the real mel-flat buffer at this row count, per-shard, stays under
+    # 2^31 on this mesh (the guard is what production fit() consults)
+    from types import SimpleNamespace
+    mel8000 = SimpleNamespace(shape=(n, 128 * 646), nbytes=n * 128 * 646 * 4)
+    assert not oversize_gather_buffers([mel8000], mesh)
+
+    x = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+    model = DenseVAE(input_dim=d, hidden_dims=(8,), latent_dim=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, d)), key)
+
+    def apply_fn(p, rng, xb):
+        return model.apply(p, xb, rng)
+
+    res = dp_fit(apply_fn, params, (x,), mesh,
+                 epochs=1, batch_size=512, learning_rate=1e-3, seed=0)
+    assert len(res.history) == 1
+    assert np.isfinite(res.history[0]["total"])
+
+
 def test_dp_fit_uneven_rows_matches_divisible_semantics():
     """dp_fit pads the resident arrays to the data axis; history must be
     IDENTICAL to single-device fit on the same (unpadded) rows."""
