@@ -62,6 +62,30 @@ def test_dynamic_k_matches_static_at_bucket_boundary(rng):
         assert float(inert_s) == float(inert_d)
 
 
+def test_dynamic_k_bit_identical_below_bucket(rng):
+    """k < k_max must ALSO reproduce the static program exactly: candidate
+    uniforms are drawn at the bucket's trial count, but trials beyond
+    sklearn's n_local_trials(k) are argmin-masked, and threefry uniforms
+    have the prefix property — so the surviving trials see the static
+    program's exact draws.  (Round-3 regression test: the first bucketing
+    cut used n_local_trials(k_max) for every k in the bucket, which moved
+    published non-boundary-k results, e.g. hard-tier k=6.)"""
+    import jax
+    from vae_hmc_tpu.cluster.kmeans import _kmeans_impl, _kmeans_impl_dyn
+    x, _ = _blobs(rng, n=300, k=5)
+    key = jax.random.PRNGKey(11)
+    for k, k_max in ((5, 8), (6, 8), (3, 4)):
+        ls, cs, inert_s, _ = _kmeans_impl(x, key, k, 5, 300, 1e-4)
+        ld, cd, inert_d, _ = _kmeans_impl_dyn(x, key, k, k_max, 5, 300,
+                                              1e-4)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(ld))
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cd)[:k])
+        # inertia reduces over a (N, k_max)-shaped program: last-ulp fp
+        # noise vs the (N, k) static shape; labels/centers are exact
+        np.testing.assert_allclose(float(inert_s), float(inert_d),
+                                   rtol=1e-6)
+
+
 def test_dynamic_k_nonbucket_quality(rng):
     """k < k_max (k=5 in the k_max=8 program): padding rows must be inert —
     exactly k clusters come out and quality still matches sklearn."""

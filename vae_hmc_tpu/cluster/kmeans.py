@@ -52,13 +52,29 @@ def _kmeanspp_init(key, x, k, k_max: Optional[int] = None):
     With k_max, `k` may be a TRACED value (dynamic-k program bucketing):
     the loop always runs k_max - 1 rounds, but rounds c >= k leave the
     carry untouched, so rows c >= k of the returned centers stay zero —
-    callers must mask them out of assignment (_lloyd n_active).  With
-    k == k_max the computation is identical to the static path.
+    callers must mask them out of assignment (_lloyd n_active).
+
+    The dynamic program is BIT-IDENTICAL to the static one for EVERY
+    k <= k_max, not just at the bucket boundary: candidate uniforms are
+    drawn at the bucket's trial count but trials beyond sklearn's
+    n_local_trials(k) = 2 + floor(ln k) are masked out of the argmin, and
+    JAX's threefry uniforms have the prefix property (uniform(key, (L,))
+    == uniform(key, (L_hi,))[:L]), so the surviving trials see exactly
+    the draws the static program would have made
+    (tests/test_kmeans.py::test_dynamic_k_bit_identical_below_bucket).
     """
     static = k_max is None
     k_hi = int(k) if static else int(k_max)
     n = x.shape[0]
     n_local_trials = 2 + int(np.floor(np.log(k_hi)))
+    if static:
+        trial_mask = None
+    else:
+        # sklearn's count for the TRUE k; ln(k) is never an exact integer
+        # for integer k > 1, so the f32 floor is safe
+        lk = 2 + jnp.floor(jnp.log(jnp.asarray(k, jnp.float32))
+                           ).astype(jnp.int32)
+        trial_mask = jnp.arange(n_local_trials) < lk
     key, sub = jax.random.split(key)
     first = jax.random.randint(sub, (), 0, n)
     centers0 = jnp.zeros((k_hi, x.shape[1]), x.dtype).at[0].set(x[first])
@@ -77,6 +93,8 @@ def _kmeanspp_init(key, x, k, k_max: Optional[int] = None):
         cand_d2 = _sq_dists_to_centers(x, cand_pts)             # (N, L)
         new_d2 = jnp.minimum(d2[:, None], cand_d2)              # (N, L)
         pots = jnp.sum(new_d2, axis=0)                          # (L,)
+        if trial_mask is not None:
+            pots = jnp.where(trial_mask, pots, jnp.inf)
         best = jnp.argmin(pots)
         centers = centers.at[c].set(cand_pts[best])
         return centers, new_d2[:, best], key
