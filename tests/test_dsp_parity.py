@@ -84,3 +84,24 @@ def test_per_sample_standardize():
 def test_frame_counts():
     cfg = MelConfig()
     assert cfg.n_frames == 1 + cfg.n_samples // cfg.hop_length == 646
+
+
+def test_slice_framing_bit_identical_to_gather():
+    """frame_signal's hop-divisible slice path (round-3: the (T, n_fft)
+    index gather compiles to ~10.8 MB of TPU code and runs 20x slower)
+    must equal the librosa-strided reference EXACTLY for both the slice
+    path (n_fft % hop == 0) and the gather fallback."""
+    import jax.numpy as jnp
+
+    from vae_hmc_tpu.ops.stft import frame_signal, num_frames
+
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=(3, 5000)).astype(np.float32)
+    for n_fft, hop in ((512, 128), (512, 96)):   # slice path / gather path
+        got = np.asarray(frame_signal(jnp.asarray(y), n_fft, hop))
+        pad = n_fft // 2
+        yp = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        t = num_frames(y.shape[1], n_fft, hop)
+        ref = np.stack([yp[:, s * hop:s * hop + n_fft]
+                        for s in range(t)], axis=1)
+        np.testing.assert_array_equal(got, ref)

@@ -47,7 +47,23 @@ def frame_signal(
         pad = n_fft // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
     t = num_frames(n, n_fft, hop_length, center)
-    # Static gather: XLA lowers iota-based gathers to cheap dynamic slices.
+    if n_fft % hop_length == 0:
+        # Slice framing: every frame start is hop-aligned, so frame t is
+        # the concatenation of r = n_fft/hop consecutive hop-blocks — r
+        # static slices of a (B, nb, hop) reshape.  The (T, n_fft)-index
+        # gather this replaces compiles to ~10.8 MB of TPU code at 30 s /
+        # 2048 / 512 (code size scales with T) and runs 20x slower; the
+        # slice form is 0.23 MB and bit-identical (round-3 code-size
+        # finding, tools/profile_viz_programs.py; tests/test_dsp_parity).
+        r = n_fft // hop_length
+        need = (t - 1) * hop_length + n_fft       # hop-divisible: r | n_fft
+        blocks = y[:, :need].reshape(y.shape[0], need // hop_length,
+                                     hop_length)
+        return jnp.concatenate([blocks[:, i:i + t, :] for i in range(r)],
+                               axis=2)                         # (B, T, n_fft)
+    # general hop: static gather (XLA turns iota-based gathers into
+    # dynamic slices only for 1-D index patterns — see above for why the
+    # 2-D form is avoided when possible)
     starts = np.arange(t) * hop_length
     idx = starts[:, None] + np.arange(n_fft)[None, :]          # (T, n_fft)
     return y[:, jnp.asarray(idx)]                              # (B, T, n_fft)
