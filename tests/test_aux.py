@@ -105,3 +105,15 @@ def test_tier_runners_write_timing_reports(tmp_path):
                                    "cluster_easy", "compare_pca_baseline"}
     assert rep["total_seconds"] > 0
     assert out["timing"]["items_per_second"]["train_basic_vae"] > 0
+
+
+def test_warm_connection_records_connect_stage():
+    from vae_hmc_tpu.core.profiling import StageTimer, warm_connection
+
+    timer = StageTimer()
+    dt = warm_connection(timer)
+    assert dt >= 0.0
+    assert "connect" in timer.stages
+    # accumulates rather than overwrites
+    warm_connection(timer)
+    assert timer.stages["connect"] >= dt
