@@ -18,6 +18,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache for the CPU suite (separate dir from the TPU
+# cache): the full-resolution DP+TP conv test alone costs ~430 s of XLA
+# CPU compile on this 1-core host — paid once, then reruns of the suite
+# load it in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/vae_hmc_jax_cache_cputests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

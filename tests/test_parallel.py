@@ -116,10 +116,16 @@ def test_dp_tp_conv_mm_full_resolution():
     x = rng_.normal(0, 1, (n, 128, 646, 1)).astype(np.float32)
     lyr = rng_.normal(0, 1, (n, 384)).astype(np.float32)
     mask = np.ones((n,), np.float32)
-    cfg = ConvMMVaeConfig(epochs=2, batch_size=8)  # full + remainder batch
+    # ONE epoch: this test is ~400 s of XLA CPU compile either way (the
+    # full-res sharded conv program; its CPU custom-calls don't persist in
+    # the compile cache), so keep the executed step count minimal — the
+    # multi-epoch scan semantics are covered by the cheap-shape dp_fit
+    # tests.  This test's job is the TP shardings at the production shape
+    # (full batch + remainder batch both still run).
+    cfg = ConvMMVaeConfig(epochs=1, batch_size=8)
     mesh = make_mesh(8)
     model, res, mu = model_api.train_conv_mm_vae(x, lyr, mask, cfg, mesh=mesh)
-    assert len(res.history) == 2
+    assert len(res.history) == 1
     assert np.isfinite([h["total"] for h in res.history]).all()
     assert mu.shape == (n, cfg.latent_dim)
     assert np.isfinite(mu).all()
