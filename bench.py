@@ -44,6 +44,7 @@ enable_persistent_cache()
 def main() -> None:
     n_tracks = int(os.environ.get("BENCH_N_TRACKS", "2924"))
     from vae_hmc_tpu.cluster.kmeans import kmeans
+    from vae_hmc_tpu.core import backend as backend_mod
     from vae_hmc_tpu.core.config import (ConvMMVaeConfig, KMeansConfig,
                                          MelConfig)
     from vae_hmc_tpu.metrics import external, internal
@@ -52,9 +53,31 @@ def main() -> None:
     from vae_hmc_tpu.pipelines import synthetic
     from vae_hmc_tpu.text.embed import hashed_embedding
 
+    # Outage-proofing (round-3 post-mortem): jax.devices() HANGS during a
+    # tunnel outage, which voided round 3's driver bench.  Probe the backend
+    # in a bounded subprocess with backoff before touching it in-process; on
+    # a dead backend, emit a structured error JSON that points at the last
+    # committed in-round result instead of hanging/crashing bare.
+    budget = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600"))
+    status = backend_mod.wait_for_backend(
+        total_budget_s=budget,
+        log=lambda m: print(f"[bench] {m}", file=sys.stderr, flush=True))
+    if not status.ok:
+        err = {
+            "metric": "tracks/sec end-to-end (mel->VAE->KMeans) on FMA-small-3k",
+            "value": None,
+            "unit": "tracks/sec",
+            "vs_baseline": None,
+            "error": f"backend unavailable after {status.seconds_waited:.0f}s"
+                     f" / {status.attempts} probes: {status.error}",
+            "last_known_good": backend_mod.last_known_good(),
+        }
+        print(json.dumps(err))
+        sys.exit(1)
     dev = jax.devices()[0]
-    print(f"[bench] device: {dev.device_kind} ({dev.platform})",
-          file=sys.stderr)
+    print(f"[bench] device: {dev.device_kind} ({dev.platform}); backend "
+          f"ready after {status.attempts} probe(s), "
+          f"{status.seconds_waited:.1f}s", file=sys.stderr)
 
     # Pallas compiled-on-device smoke + parity (outside the timed region):
     # both custom kernels execute COMPILED on this chip every bench run and
@@ -138,7 +161,10 @@ def main() -> None:
                   file=sys.stderr, flush=True)
     x_mel = jnp.concatenate(feats, axis=0)[..., None]  # (N, 128, T, 1) NHWC
     del feats
-    jax.block_until_ready(x_mel)
+    # stage-boundary sync via a tiny scalar HOST FETCH: block_until_ready is
+    # unreliable on the async tunneled platform (CLAUDE.md), which would let
+    # feature time bleed into seconds_lyrics/seconds_train (advisor round 3)
+    float(jnp.sum(x_mel[0, :2, 0, 0]))
     t1 = time.perf_counter()
 
     # stage 2: lyrics embeddings (script 11 — a sentence-transformer pass
@@ -151,13 +177,14 @@ def main() -> None:
         lyr = encode_texts(*minilm_state, texts, batch_size=128,
                            to_host=False)          # stays HBM-resident
         lyr = lyr * jnp.asarray(has)[:, None]
-        jax.block_until_ready(lyr)
+        float(jnp.sum(lyr[0, :2]))    # scalar-fetch sync (see t1 note)
     else:
         lyr = hashed_embedding(texts, 384) * has[:, None]
     t2 = time.perf_counter()
 
     # stage 3: conv multimodal VAE training (script 12); x_mel stays on device
     model, res, mu = model_api.train_conv_mm_vae(x_mel, lyr, has, vae_cfg)
+    float(jnp.sum(mu[0, :2]))         # scalar-fetch sync (see t1 note)
     t3 = time.perf_counter()
 
     # stage 4: KMeans + metrics (scripts 13/20 core)
@@ -192,6 +219,9 @@ def main() -> None:
         "device": f"{dev.device_kind}",
         "pallas_smoke": pallas_smoke,
     }
+    # committed machine-readable record of every successful run: an
+    # end-of-round outage can no longer void the round's perf evidence
+    backend_mod.record_bench(result)
     print(json.dumps(result))
 
 

@@ -31,6 +31,32 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full-res", action="store_true", default=False,
+        help="run tests marked full_res (~400 s of XLA CPU compile for the "
+             "full-resolution sharded conv program)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full_res: full-resolution sharded-program test (~400 s XLA CPU "
+        "compile; run with --full-res or VAE_HMC_FULL_RES=1 — MUST be run "
+        "before certifying a round / touching models.train or parallel.*)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full-res") or os.environ.get("VAE_HMC_FULL_RES"):
+        return
+    skip = pytest.mark.skip(
+        reason="full_res: pass --full-res (or VAE_HMC_FULL_RES=1); ~400 s "
+               "XLA CPU compile, coverage still required before round cert")
+    for item in items:
+        if "full_res" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -117,3 +117,25 @@ def test_warm_connection_records_connect_stage():
     # accumulates rather than overwrites
     warm_connection(timer)
     assert timer.stages["connect"] >= dt
+
+
+def test_real_data_readiness_tool_runs_green():
+    """tools/real_data_readiness.py must exit 0 and emit valid JSON whether
+    or not any real data is mounted ("blocked" is the expected CI state) —
+    VERDICT r3 next-step #7."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "real_data_readiness.py"
+    cp = subprocess.run([sys.executable, str(tool)], capture_output=True,
+                        text=True, timeout=120)
+    assert cp.returncode == 0, cp.stderr
+    report = json.loads(cp.stdout)
+    names = {c["name"] for c in report["checks"]}
+    assert names == {"FMA audio corpus", "MiniLM real weights",
+                     "Whisper real model", "Live lyrics APIs"}
+    assert set(report["ready"]) | set(report["blocked"]) == names
+    for c in report["checks"]:
+        assert c["next_step"]

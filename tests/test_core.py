@@ -217,3 +217,20 @@ def test_subspace_topk_near_degenerate_pair():
     v_np = q[:, :2]
     p_np = v_np @ v_np.T
     assert np.abs(p_ours - p_np).max() < 5e-3
+
+
+def test_pca_oversize_k_raises_like_sklearn():
+    """Oversize n_components raises by default (sklearn parity, VERDICT r3
+    weak #6); allow_cap=True restores the explicit capped fit."""
+    import pytest
+
+    from vae_hmc_tpu.ops.pca import PCA
+
+    x = np.random.default_rng(5).normal(0, 1, (10, 6)).astype(np.float32)
+    with pytest.raises(ValueError, match="n_components=8"):
+        PCA(8).fit(x)                  # 8 > min(10, 6)
+    with pytest.raises(ValueError, match="n_components=32"):
+        PCA(32).fit(x)                 # 32 > n_samples too
+    p = PCA(32, allow_cap=True).fit(x)
+    assert p.n_components_ == 6
+    assert np.asarray(p.components_).shape == (6, 6)

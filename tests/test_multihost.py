@@ -163,3 +163,36 @@ def test_two_process_distributed_mesh_and_staging(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, (rc, out, err[-2000:])
         assert "OK" in out, (out, err[-2000:])
+
+
+def test_fit_rejects_staged_padded_arrays_without_n_rows():
+    """Advisor round 3: staged P('data') arrays carry zero-row padding;
+    fit() must refuse to infer the row count from shape[0]."""
+    from vae_hmc_tpu.models.train import fit
+
+    mesh = mh.global_mesh(model_parallel=2)            # data axis = 4
+    full = np.random.default_rng(3).normal(size=(10, 5)).astype(np.float32)
+    staged = mh.stage_features_sharded(lambda s, e: full[s:e], 10, mesh)
+    assert staged.shape[0] == 12                       # padded
+
+    def apply_fn(p, rng, xb):
+        h = xb @ p["w"]
+        return h, jnp.zeros((xb.shape[0], 2)), jnp.zeros((xb.shape[0], 2))
+
+    params = {"w": jnp.eye(5, dtype=jnp.float32)}
+    with pytest.raises(ValueError, match="n_rows"):
+        fit(apply_fn, params, (staged,), epochs=1, batch_size=4,
+            learning_rate=1e-3, mesh=mesh)
+    # explicit n_rows: trains only the 10 valid rows
+    res = fit(apply_fn, params, (staged,), epochs=1, batch_size=4,
+              learning_rate=1e-3, mesh=mesh, n_rows=10)
+    assert np.isfinite(res.history[-1]["total"])
+
+
+def test_threefry_partitionable_pinned_on_import():
+    """The dynamic-k kmeans bit-identity proof needs the threefry prefix
+    property, which only holds under jax_threefry_partitionable=True —
+    pinned at package import (advisor round 3)."""
+    import vae_hmc_tpu  # noqa: F401
+
+    assert jax.config.jax_threefry_partitionable

@@ -18,3 +18,32 @@ torch/librosa/sklearn internals.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Platform-selection shim (round-4 finding): the environment's
+# sitecustomize registers the axon TPU-tunnel plugin in EVERY process and
+# pins the ambient env JAX_PLATFORMS=axon, so during a tunnel outage
+# `jax.devices()` HANGS even when the caller exported JAX_PLATFORM_NAME=cpu
+# (env-var selection no longer bypasses the plugin; only the config update
+# does).  Translate the documented user override here — every entry point
+# imports this package before touching a backend.  JAX_PLATFORM_NAME (the
+# explicit user intent, per CLAUDE.md / the verify recipe) deliberately
+# wins over the ambient JAX_PLATFORMS.
+_plat = (_os.environ.get("JAX_PLATFORM_NAME")
+         or _os.environ.get("JAX_PLATFORMS"))
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat.lower())
+    except Exception:
+        pass                      # backend already initialized — too late
+
+# Pin partitionable threefry (advisor round 3): the dynamic-k kmeans
+# bit-identity proof relies on the uniform PREFIX property
+# (uniform(key, (L,)) == uniform(key, (L_hi,))[:L]), which holds ONLY under
+# this flag.  It is the default in jax 0.9, but a downgrade or an explicit
+# flip would silently move published non-boundary-k clustering results —
+# pin it at import so every entry point (CLI, bench, tests) agrees.
+_jax.config.update("jax_threefry_partitionable", True)

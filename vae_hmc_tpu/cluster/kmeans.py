@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# bucket_k shared with metrics.internal — both layers must bucket
+# identically for the program-count win to hold (advisor round 3)
+from vae_hmc_tpu.core.bucketing import bucket_k as _bucket_k
 from vae_hmc_tpu.core.config import KMeansConfig
 
 
@@ -59,8 +62,9 @@ def _kmeanspp_init(key, x, k, k_max: Optional[int] = None):
     drawn at the bucket's trial count but trials beyond sklearn's
     n_local_trials(k) = 2 + floor(ln k) are masked out of the argmin, and
     JAX's threefry uniforms have the prefix property (uniform(key, (L,))
-    == uniform(key, (L_hi,))[:L]), so the surviving trials see exactly
-    the draws the static program would have made
+    == uniform(key, (L_hi,))[:L]) — which holds ONLY under
+    jax_threefry_partitionable=True, pinned at package import
+    (vae_hmc_tpu/__init__.py) and asserted by kmeans()
     (tests/test_kmeans.py::test_dynamic_k_bit_identical_below_bucket).
     """
     static = k_max is None
@@ -197,15 +201,16 @@ def _kmeans_impl_dyn(x, key, k, k_max: int, n_init: int, max_iter: int,
     return labels[best], centers[best], inertias[best], n_iters[best]
 
 
-def _bucket_k(k: int) -> int:
-    b = 2
-    while b < k:
-        b *= 2
-    return b
 
 
 def kmeans(x, cfg: KMeansConfig = KMeansConfig(),
            key: Optional[jax.Array] = None) -> KMeansResult:
+    # dynamic-k bit-identity requires the threefry prefix property (see
+    # _kmeanspp_init); the flag is pinned at package import — this assert
+    # catches an entry point that flipped it back
+    assert jax.config.jax_threefry_partitionable, (
+        "jax_threefry_partitionable must be True for dynamic-k kmeans "
+        "bit-identity (pinned in vae_hmc_tpu/__init__.py)")
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     k = cfg.n_clusters

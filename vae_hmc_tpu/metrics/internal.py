@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vae_hmc_tpu.core.bucketing import bucket_k as _bucket_k
+
 
 def _as_codes(labels) -> np.ndarray:
     """Labels -> dense 0..k-1 int codes (sorted-unique order, sklearn-style)."""
@@ -26,20 +28,13 @@ def _as_codes(labels) -> np.ndarray:
     return codes.astype(np.int32)
 
 
-def _bucket_k(k: int) -> int:
-    """Round a cluster count up to {2, 4, 8, 16, 32, ...}.
-
-    n_clusters is a STATIC jit argument: a sweep whose cells find many
-    distinct cluster counts (DBSCAN especially) otherwise compiles one
-    program per count per operand shape — the bulk of the ~40 cold-start
-    compiles measured in round 2 (VALIDATION.md).  The masked metric
-    programs tolerate trailing always-empty clusters exactly (empty columns
-    are masked out of every reduction), so padding k to a bucket collapses
-    the program count to the handful of bucket sizes."""
-    b = 2
-    while b < k:
-        b *= 2
-    return b
+# _bucket_k (core.bucketing): n_clusters is a STATIC jit argument; a sweep
+# whose cells find many distinct cluster counts (DBSCAN especially) would
+# compile one program per count per operand shape — the bulk of the ~40
+# cold-start compiles measured in round 2 (VALIDATION.md).  The masked
+# metric programs tolerate trailing always-empty clusters exactly (empty
+# columns are masked out of every reduction), so padding k to a bucket
+# collapses the program count to the handful of bucket sizes.
 
 
 def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:

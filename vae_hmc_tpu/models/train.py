@@ -126,6 +126,18 @@ def fit(
     — mesh training is step-equivalent to fit() by construction, not by a
     parallel reimplementation (the reference has no DP at all, SURVEY §2c).
     """
+    if n_rows is None:
+        # Guard (advisor round 3): multihost staging (global_batch_from_local
+        # / stage_features_sharded) returns P('data') arrays whose leading
+        # dim may be PADDED with zero rows; treating shape[0] as the row
+        # count would silently train on the padding.  A pre-sharded 'data'
+        # array therefore requires an explicit n_rows.
+        spec = getattr(getattr(arrays[0], "sharding", None), "spec", None)
+        if spec is not None and len(spec) and spec[0] == "data":
+            raise ValueError(
+                "arrays[0] is already sharded P('data') — staged arrays may "
+                "carry zero-row padding (parallel.multihost.padded_rows); "
+                "pass n_rows=<valid row count> explicitly")
     n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
     arrays = tuple(jnp.asarray(a) for a in arrays)
     target_idx = 0
@@ -423,6 +435,14 @@ def encode_in_batches(
     fetch, instead of ceil(N/B) dispatch+fetch round trips (each ~seconds
     on remote-attached devices).  to_host=False keeps the latents
     HBM-resident for downstream device clustering."""
+    if n_rows is None:
+        # same staged-padding guard as fit() — exported latents would
+        # otherwise include rows for the zero padding
+        spec = getattr(getattr(arrays[0], "sharding", None), "spec", None)
+        if spec is not None and len(spec) and spec[0] == "data":
+            raise ValueError(
+                "arrays[0] is already sharded P('data') — staged arrays may "
+                "carry zero-row padding; pass n_rows=<valid row count>")
     n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
     arrays = tuple(jnp.asarray(a) for a in arrays)
     flats, tails = _flatten_for_gather(arrays)

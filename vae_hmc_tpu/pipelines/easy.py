@@ -182,7 +182,7 @@ def compare_pca_baseline(ws: Workspace,
 
     def run_pca_kmeans(x):
         xsc = np.asarray(StandardScaler().fit_transform(x))
-        p = PCA(min(latent_dim, xsc.shape[1])).fit(xsc)
+        p = PCA(min(latent_dim, xsc.shape[1], xsc.shape[0])).fit(xsc)
         xp = np.asarray(p.transform(xsc))
         labels = kmeans(xp, km_cfg).labels
         return labels, xp, p

@@ -331,8 +331,9 @@ def compare_with_baselines(ws: Workspace, k: Optional[int] = None,
 
     rows = [eval_kmeans("VAE/CVAE latents + KMeans", z),
             eval_kmeans("Direct spectral (MFCC stats) + KMeans", x_audio)]
-    x_pca = np.asarray(PCA(min(pca_dim, x_audio.shape[1])).fit_transform(
-        x_audio))
+    x_pca = np.asarray(
+        PCA(min(pca_dim, x_audio.shape[1], x_audio.shape[0])).fit_transform(
+            x_audio))
     rows.append(eval_kmeans(f"PCA({x_pca.shape[1]}) + KMeans (audio)", x_pca))
 
     cfg = AeConfig(**{**asdict(ae_cfg), "input_dim": x_fused.shape[1],

@@ -222,9 +222,11 @@ def _build_rep(name, x, ids, genre_map, standardize,
             x = np.asarray(StandardScaler().fit_transform(x))
     if pca_dim and x.shape[1] > pca_dim:   # optional reduction (ref 13:172-174)
         from vae_hmc_tpu.ops.pca import PCA
-        x = PCA(pca_dim).fit_transform(x)   # device op; host fetch only if
-        if not on_device:                   # the caller started on host
-            x = np.asarray(x)
+        # explicit clamp for tiny synthetic runs (N < pca_dim); oversize k
+        # raises since round 4 (sklearn parity)
+        x = PCA(min(pca_dim, int(x.shape[0]))).fit_transform(x)
+        if not on_device:                   # host fetch only if the caller
+            x = np.asarray(x)               # started on host
     y_true = labels_for_ids(ids, genre_map) if genre_map is not None else None
     return RepData.build(name, x, y_true)
 

@@ -44,7 +44,8 @@ def reduce_2d(x: np.ndarray, method: str = "umap",
     if not isinstance(x, jax.Array):
         x = np.asarray(x, dtype=np.float32)
     if pre_pca_dim and x.shape[1] > pre_pca_dim:
-        x = PCA(pre_pca_dim).fit_transform(x)
+        # clamp by N for tiny runs; oversize k raises (sklearn parity)
+        x = PCA(min(pre_pca_dim, int(x.shape[0]))).fit_transform(x)
     method = method.lower()
     if method == "pca":
         return np.asarray(PCA(2).fit_transform(x)), "pca"
