@@ -113,7 +113,16 @@ def main() -> None:
         print(f"[bench] pallas smoke: {pallas_smoke}", file=sys.stderr)
 
     mel_cfg = MelConfig()                      # 15 s, 128 mels, T=646
-    vae_cfg = ConvMMVaeConfig()                # 25 epochs, batch 64
+    # BENCH_FAST=1: documented opt-in perf mode — bf16 forward/backward with
+    # f32 master params (measured 11.6 vs 13.5 ms/step at batch 64).  NON-
+    # PARITY: the 25-epoch trajectory drifts (VALIDATION.md round 2), so
+    # quality columns are not comparable to the f32 parity rows.  Default
+    # stays f32 because quality parity with the reference's torch training
+    # is the headline constraint.
+    fast = os.environ.get("BENCH_FAST") == "1"
+    vae_cfg = ConvMMVaeConfig(                 # 25 epochs, batch 64
+        compute_dtype="bfloat16" if fast else "float32")
+    mode = "fast (bf16 train, NON-parity)" if fast else "parity (f32 train)"
     ds = synthetic.make_dataset(n_tracks, seed=42, lyrics_coverage=0.9)
 
     # Lyrics backend (round-2 verdict: the hashed path made seconds_lyrics
@@ -140,27 +149,23 @@ def main() -> None:
                                 to_host=False)
 
     # =================== timed region ===================
-    # stage 1: per batch, synthesize waveforms on device (stands in for the
-    # decode stage) and immediately run the fused log-mel kernel.  ALL large
-    # arrays stay HBM-resident end to end: on this tunneled dev chip,
-    # device->host readback runs at ~1 MB/s, and on real deployments the
-    # principle is the same — features feed training in place, no host trip.
+    # stage 1: the whole synth+log-mel stage is ONE scanned device program
+    # (pipelines.features fused path, round 4): per scan step, waveforms are
+    # synthesized from ~16 host floats/track and the fused log-mel kernel
+    # runs in place.  Was ~46 batches x 2 dispatches — each dispatch costs
+    # ~0.5-1 s under tunnel congestion, so the loop was the tier's weather
+    # vane.  ALL large arrays stay HBM-resident end to end: on this
+    # tunneled dev chip, device->host readback runs at ~1 MB/s, and on real
+    # deployments the principle is the same — features feed training in
+    # place, no host trip.
+    from vae_hmc_tpu.pipelines import features as feat_pipe
+    from vae_hmc_tpu.pipelines.sources import SyntheticSource
+
     t0 = time.perf_counter()
-    batch_size = 128
-    feats = []
-    for s in range(0, n_tracks, batch_size):
-        idx = list(range(s, min(s + batch_size, n_tracks)))
-        wb = synthetic.waveform_batch_device(ds, idx, mel_cfg.duration_s,
-                                             seed=42)
-        x = mel_ops.logmel_batch(wb, mel_cfg)
-        feats.append(mel_ops.per_sample_standardize(x))
-        if (s // batch_size) % 5 == 0:
-            jax.block_until_ready(feats[-1])
-            print(f"[bench] features {s + len(idx)}/{n_tracks} "
-                  f"({time.perf_counter() - t0:.0f}s)",
-                  file=sys.stderr, flush=True)
-    x_mel = jnp.concatenate(feats, axis=0)[..., None]  # (N, 128, T, 1) NHWC
-    del feats
+    src = SyntheticSource(ds, seed=42, device=True)
+    x_mel, _ids, _report = feat_pipe.build_logmel(
+        src, mel_cfg, device_batch=128, hbm_resident=True)
+    x_mel = x_mel[..., None]                           # (N, 128, T, 1) NHWC
     # stage-boundary sync via a tiny scalar HOST FETCH: block_until_ready is
     # unreliable on the async tunneled platform (CLAUDE.md), which would let
     # feature time bleed into seconds_lyrics/seconds_train (advisor round 3)
@@ -217,6 +222,7 @@ def main() -> None:
         "davies_bouldin": round(float(dbi), 5),
         "ari_vs_genre": round(float(ari), 5),
         "device": f"{dev.device_kind}",
+        "mode": mode,
         "pallas_smoke": pallas_smoke,
     }
     # committed machine-readable record of every successful run: an

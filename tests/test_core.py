@@ -234,3 +234,31 @@ def test_pca_oversize_k_raises_like_sklearn():
     p = PCA(32, allow_cap=True).fit(x)
     assert p.n_components_ == 6
     assert np.asarray(p.components_).shape == (6, 6)
+
+
+def test_fetch_pytree_single_buffer_bit_exact():
+    """Single-buffer device->host fetch (the 342 MB checkpoint-fetch path)
+    must be bit-exact for mixed dtypes, nested trees, scalars, and host
+    leaves passed through."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_hmc_tpu.core.artifacts import fetch_pytree_single_buffer
+
+    rng_ = np.random.default_rng(11)
+    tree = {
+        "a": jnp.asarray(rng_.normal(0, 1, (17, 5)).astype(np.float32)),
+        "nested": {
+            "b": jnp.asarray(rng_.normal(0, 1, (3, 4, 2)).astype(np.float32)),
+            "c": jnp.asarray(np.int32([[1, 2], [3, 4]])),
+            "scalar": jnp.asarray(np.float32(3.5)),
+        },
+        "host_leaf": np.arange(6, dtype=np.int64),
+    }
+    got = fetch_pytree_single_buffer(tree)
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(tree)
+    for g, l in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(tree)):
+        assert isinstance(g, np.ndarray)
+        assert g.dtype == np.asarray(l).dtype
+        np.testing.assert_array_equal(g, np.asarray(l))

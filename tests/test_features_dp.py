@@ -61,3 +61,83 @@ def test_mfcc_stats_sharded_masked_lengths():
     assert got.shape == (b, 2 * cfg.n_mfcc)
     np.testing.assert_array_equal(got, ref)
     assert np.isfinite(got).all()
+
+
+class TestFusedSynthPrograms:
+    """The fused synth->feature scan (ONE program for the whole corpus —
+    the round-4 dispatch-count fix) must match the per-batch path:
+    bit-identical waveforms by construction (same synth_core, same fold_in
+    keys, threefry prefix property for the padded tail), feature parity to
+    f32 fusion tolerance."""
+
+    def _source(self, n):
+        from vae_hmc_tpu.pipelines.sources import SyntheticSource
+        return SyntheticSource.make(n, seed=42, device=True)
+
+    def test_fused_mfcc_matches_per_batch(self):
+        from vae_hmc_tpu.core.config import MfccConfig
+        from vae_hmc_tpu.ops.mfcc import mfcc_stats_batch
+        from vae_hmc_tpu.pipelines import features, synthetic
+
+        cfg = MfccConfig(duration_s=1.0)
+        src = self._source(10)
+        x, ids, report = features.build_mfcc_stats(src, cfg, device_batch=4)
+        assert x.shape == (10, cfg.feature_dim)
+        assert report.ok_count() == 10
+        np.testing.assert_array_equal(ids, src.track_ids)
+        # reference: the per-batch device path (old code path, exact batch
+        # boundaries incl. the short tail batch)
+        parts = []
+        for s in range(0, 10, 4):
+            idx = list(range(s, min(s + 4, 10)))
+            wav = synthetic.waveform_batch_device(src.ds, idx, cfg.duration_s,
+                                                  seed=42)
+            parts.append(np.asarray(mfcc_stats_batch(wav, cfg)))
+        ref = np.concatenate(parts)
+        np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_logmel_matches_per_batch(self):
+        from vae_hmc_tpu.core.config import MelConfig
+        from vae_hmc_tpu.ops import mel as mel_ops
+        from vae_hmc_tpu.pipelines import features, synthetic
+
+        cfg = MelConfig(duration_s=1.0)
+        src = self._source(7)
+        x, ids, report = features.build_logmel(src, cfg, device_batch=4,
+                                               hbm_resident=False)
+        assert x.shape == (7, 1, cfg.n_mels, cfg.n_frames)
+        assert report.ok_count() == 7
+        parts = []
+        for s in range(0, 7, 4):
+            idx = list(range(s, min(s + 4, 7)))
+            wav = synthetic.waveform_batch_device(src.ds, idx, cfg.duration_s,
+                                                  seed=42)
+            m = mel_ops.per_sample_standardize(mel_ops.logmel_batch(wav, cfg))
+            parts.append(np.asarray(m))
+        ref = np.concatenate(parts)
+        np.testing.assert_allclose(x[:, 0], ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_waveforms_bit_identical_to_per_batch(self):
+        """The synthesized waveforms themselves (before any feature kernel)
+        are BIT-identical between the scan program and the standalone
+        per-batch program, including the padded tail batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from vae_hmc_tpu.pipelines import features, synthetic
+
+        src = self._source(6)
+        n_samp = 2205                                       # 0.1 s
+        params, starts = features._stacked_synth_params(src, 6, 4)
+
+        @jax.jit
+        def scan_waves(params, starts):
+            return features._scan_synth(params, starts, 42, n_samp,
+                                        src.sample_rate, lambda w: w)
+
+        got = np.asarray(scan_waves(params, starts)).reshape(-1, n_samp)[:6]
+        ref = np.concatenate([
+            np.asarray(synthetic.waveform_batch_device(src.ds, idx, 0.1,
+                                                       seed=42))
+            for idx in ([0, 1, 2, 3], [4, 5])])
+        np.testing.assert_array_equal(got, ref)

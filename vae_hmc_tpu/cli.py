@@ -24,6 +24,15 @@ from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
 def _source(args):
     from vae_hmc_tpu.pipelines.sources import FileSource, SyntheticSource
 
+    if getattr(args, "synthetic_audio", False):
+        import jax
+        from vae_hmc_tpu.pipelines.synthetic import dataset_from_manifest
+        # REAL manifest rows (ids, genres, titles, text coverage), synthetic
+        # waveforms: rehearses the reference's true join topology before
+        # audio mounts (see synthetic.dataset_from_manifest)
+        ds = dataset_from_manifest(Path(args.manifest), seed=args.seed)
+        return SyntheticSource(ds, seed=args.seed,
+                               device=jax.default_backend() == "tpu")
     if getattr(args, "synthetic", 0):
         import jax
         # synthesize on device when an accelerator is attached: sample-level
@@ -42,6 +51,11 @@ def _add_common(p, manifest_default="data/fma_manifest_combined_text_only_clean.
     p.add_argument("--manifest", type=str, default=manifest_default)
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic tracks instead of real audio")
+    p.add_argument("--synthetic-audio", action="store_true",
+                   help="drive the REAL --manifest rows (ids, genres, "
+                        "text-coverage mask) with synthesized waveforms — "
+                        "full-pipeline rehearsal of the real join topology "
+                        "before audio mounts")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device-batch", type=int, default=64)
     p.add_argument("--verbose", action="store_true")
@@ -176,6 +190,15 @@ def main(argv=None) -> int:
     p.add_argument("--no-write-mel", action="store_true",
                    help="skip the ~1 GB audio_cnn_mel_X.npy write (features "
                         "stay HBM-resident; id/report contract still written)")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="skip the 342 MB ckpt_epoch_NNN.pt write (and its "
+                        "device->host param fetch) — for bandwidth-starved "
+                        "dev links; train_log/latent contract still written")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 mixed-precision training (measured 11.6 vs "
+                        "13.5 ms/step) — NON-PARITY: the 25-epoch loss "
+                        "trajectory drifts vs the reference's f32 training "
+                        "(see README 'Parity mode vs fast mode')")
 
     # ---- hard (18-22) ----
     p = sub.add_parser("prepare-hard", help="script 18: hard feature prep")
@@ -343,7 +366,8 @@ def main(argv=None) -> int:
         from vae_hmc_tpu.pipelines import medium
         gm = None
         mp = Path(args.root) / args.manifest
-        if getattr(args, "synthetic", 0):
+        if (getattr(args, "synthetic", 0)
+                or getattr(args, "synthetic_audio", False)):
             src = _source(args)
             gm = {int(t): str(g) for t, g in zip(src.track_ids, src.genres)}
         elif mp.exists():
@@ -385,12 +409,19 @@ def main(argv=None) -> int:
         else:
             from vae_hmc_tpu.core.config import MelConfig
             mel_cfg = MelConfig(duration_s=args.duration)
+            if args.fast:
+                print("[run-medium] --fast: bf16 training is a NON-PARITY "
+                      "perf mode; quality columns are not comparable to "
+                      "the f32 parity run", file=sys.stderr)
             out = medium.run_medium_pipeline(
                 _source(args), ws, mel_cfg=mel_cfg,
                 vae_cfg=ConvMMVaeConfig(epochs=args.epochs, seed=args.seed,
-                                        in_frames=mel_cfg.n_frames),
+                                        in_frames=mel_cfg.n_frames,
+                                        compute_dtype=("bfloat16" if args.fast
+                                                       else "float32")),
                 device_batch=args.device_batch, verbose=args.verbose,
-                write_mel_features=not args.no_write_mel)
+                write_mel_features=not args.no_write_mel,
+                save_epoch_checkpoints=not args.no_checkpoint)
             print("medium pipeline complete")
 
     elif cmd == "prepare-hard":

@@ -156,6 +156,40 @@ def load_features(x_path: Path, ids_path: Path) -> Tuple[np.ndarray, np.ndarray]
 # ---------------------------------------------------------------------------
 
 
+def fetch_pytree_single_buffer(tree):
+    """Device pytree -> host pytree via ONE contiguous device->host fetch
+    per dtype (leaves are raveled and concatenated by a jitted program,
+    fetched once, then split/reshaped on host — bit-exact).
+
+    On links where per-array transfer overhead dominates (the tunneled dev
+    chip reads back small-array streams at ~1 MB/s), fetching the conv-MM
+    checkpoint's ~20 leaves (342 MB, two 170 MB FC kernels) as one buffer
+    is substantially cheaper than np.asarray per leaf.  Host leaves pass
+    through unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    device_idx: Dict[Any, list] = {}
+    out: list = [None] * len(leaves)
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            device_idx.setdefault(jnp.asarray(leaf).dtype, []).append(i)
+        else:
+            out[i] = np.asarray(leaf)
+    concat = jax.jit(lambda ls: jnp.concatenate([jnp.ravel(x) for x in ls]))
+    for dt, idxs in device_idx.items():
+        host = np.asarray(concat([leaves[i] for i in idxs]))
+        off = 0
+        for i in idxs:
+            shape = tuple(np.shape(leaves[i]))
+            n = int(np.prod(shape, dtype=np.int64))
+            out[i] = host[off:off + n].reshape(shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_checkpoint(path: Path, params, metadata: Optional[Dict] = None,
                     tag: Optional[str] = None) -> Path:
     """Flatten a pytree of arrays into one .npz + metadata json sidecar.

@@ -29,10 +29,15 @@ from typing import Optional
 _PROBE_SRC = (
     "import os, jax, json\n"
     # env-var platform selection does NOT bypass the axon plugin's backend
-    # init (observed: JAX_PLATFORM_NAME=cpu still hangs during an outage);
-    # only the config update does, so tests force CPU through this override
-    "p = os.environ.get('VAE_HMC_PROBE_PLATFORM')\n"
-    "if p: jax.config.update('jax_platforms', p)\n"
+    # init (the ambient sitecustomize pins JAX_PLATFORMS=axon; a cpu-forced
+    # jax.devices() hangs during an outage); only the config update does.
+    # Honor the same explicit overrides the package shim honors, so a
+    # JAX_PLATFORM_NAME=cpu bench probes the backend it will actually use.
+    # The ambient JAX_PLATFORMS is deliberately NOT translated here —
+    # probing the real backend is the point.
+    "p = (os.environ.get('VAE_HMC_PROBE_PLATFORM')"
+    " or os.environ.get('JAX_PLATFORM_NAME'))\n"
+    "if p: jax.config.update('jax_platforms', p.lower())\n"
     "d = jax.devices()[0]\n"
     "print('PROBE_OK ' + json.dumps({'platform': d.platform,"
     " 'device_kind': d.device_kind, 'n': len(jax.devices())}))\n"

@@ -156,9 +156,13 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
         if save_epoch_checkpoints:
             # the reference checkpoints every epoch (12:281-285); we keep
             # the filename contract for the final epoch and add resumable
-            # metadata
+            # metadata.  The 342 MB param pytree (two 170 MB FC kernels)
+            # crosses device->host as one buffer per dtype — per-leaf
+            # fetches pay the slow small-stream readback path on tunneled
+            # links (core.artifacts.fetch_pytree_single_buffer).
+            params_host = artifacts.fetch_pytree_single_buffer(res.params)
             artifacts.save_checkpoint(
-                out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", res.params,
+                out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", params_host,
                 metadata={"config": asdict(cfg), "epoch": cfg.epochs,
                           "input_shape": ([x.shape[0], 1, x.shape[1],
                                            x.shape[2]]
@@ -423,15 +427,22 @@ def visualize_clustering(ws: Workspace, repr_path: Path, ids_path: Path,
                          eps: float = 0.6, min_samples: int = 5,
                          proj: str = "pca", standardize: bool = False,
                          pre_pca_dim: int = 50, tag: str = "run",
-                         seed: int = 42) -> Dict:
+                         seed: int = 42,
+                         x_arr: Optional[np.ndarray] = None,
+                         ids_arr: Optional[np.ndarray] = None) -> Dict:
+    """x_arr/ids_arr: optional in-memory representation overriding the
+    on-disk files (repr_path/ids_path then only label the outputs) — lets
+    the pipeline run viz before the deferred artifact writes land."""
     from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
     from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
     from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
     from vae_hmc_tpu.viz.projections import reduce_2d
 
     out_dir = ws.results / "cluster_viz"
-    x = np.load(repr_path).astype(np.float32)
-    ids = np.load(ids_path).astype(np.int64)
+    x = (np.asarray(x_arr, dtype=np.float32) if x_arr is not None
+         else np.load(repr_path).astype(np.float32))
+    ids = (np.asarray(ids_arr, dtype=np.int64) if ids_arr is not None
+           else np.load(ids_path).astype(np.int64))
     if x.ndim > 2:
         x = x.reshape(x.shape[0], -1)
     if standardize:
@@ -596,6 +607,7 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                         with_viz: bool = True, device_batch: int = 32,
                         verbose: bool = False,
                         write_mel_features: bool = True,
+                        save_epoch_checkpoints: bool = True,
                         hbm_resident: bool = True) -> Dict:
     """hbm_resident=True (default): the (N, 128, T) mel tensor lives on
     device for the whole pipeline — feature extraction feeds training and
@@ -617,6 +629,7 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     # cluster stages below; joined before anything reads the files
     with timer.stage("train_conv_mm", n_src):
         t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
+                          save_epoch_checkpoints=save_epoch_checkpoints,
                           defer_artifacts=True)
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
@@ -635,19 +648,24 @@ def run_medium_pipeline(source: Source, ws: Workspace,
         rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
-    thread = t.pop("artifact_thread", None)
-    if thread is not None:
-        with timer.stage("train_artifact_join", n_src):
-            thread.join_and_raise()  # viz14 reads vae_mm_latents_mu.npy
     if with_viz:
+        # viz14 takes the in-memory latents (round 4) so the deferred
+        # artifact thread — dominated by the 342 MB checkpoint-param fetch —
+        # overlaps EVERY downstream stage and is joined only at the end,
+        # instead of gating viz14 on the latent .npy write
         with timer.stage("visualize_clustering", n_src):
             out["viz14"] = visualize_clustering(
                 ws, ws.data / "vae_mm_latents_mu.npy",
                 ws.data / "vae_mm_latents_track_ids.npy", genre_map,
-                method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6")
+                method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6",
+                x_arr=t["latents"], ids_arr=t["ids"])
         with timer.stage("side_by_side_and_dbscan_sweep", n_src):
             out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6,
                                                          arrays=arrays)
+    thread = t.pop("artifact_thread", None)
+    if thread is not None:
+        with timer.stage("train_artifact_join", n_src):
+            thread.join_and_raise()
     timer.save(ws.results / "timing_medium.json")
     out["timing"] = timer.report()
     return out

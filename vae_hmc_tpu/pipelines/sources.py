@@ -56,6 +56,13 @@ class SyntheticSource(Source):
         self.genres = self.ds.genres
         self.sample_rate = self.ds.sample_rate
 
+    @property
+    def supports_fused_synth(self) -> bool:
+        """True when the feature builders may collapse this source's whole
+        synth+feature stage into ONE scanned device program (the dispatch-
+        count fix for congested links — see pipelines.features)."""
+        return self.device
+
     def lyrics_text(self, i: int) -> Optional[str]:
         return self.ds.lyrics[i]
 

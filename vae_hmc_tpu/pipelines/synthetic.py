@@ -52,6 +52,9 @@ class SyntheticDataset:
     has_lyrics: np.ndarray           # (N,) bool (some tracks missing text)
     lyrics: List[Optional[str]]
     sample_rate: int = 22050
+    # per-row text provenance ("whisper"/"genius"/"both"/""), populated by
+    # dataset_from_manifest so tests can assert the real coverage mix
+    text_sources: Optional[List[str]] = None
 
     def __len__(self):
         return len(self.track_ids)
@@ -87,7 +90,7 @@ def make_dataset(n_tracks: int = 2924, seed: int = 42,
         if not has_lyrics[i]:
             lyrics.append(None)
             continue
-        vocab = _LYRIC_VOCAB[str(g[i])].split()
+        vocab = _LYRIC_VOCAB[_recipe_genre(g[i])].split()
         r = np.random.default_rng(seed * 1000003 + int(track_ids[i]))
         words = r.choice(vocab, size=60, replace=True)
         lyrics.append(" ".join(words))
@@ -98,10 +101,73 @@ def make_dataset(n_tracks: int = 2924, seed: int = 42,
                             lyrics=lyrics)
 
 
+def _recipe_genre(genre: str) -> str:
+    """Map an arbitrary genre string onto a recipe key: exact match when the
+    genre is one of the six FMA-small genres (always true for the reference
+    manifest), else a stable hash pick so any manifest synthesizes."""
+    g = str(genre)
+    if g in _RECIPES:
+        return g
+    keys = sorted(_RECIPES)
+    return keys[sum(g.encode()) % len(keys)]
+
+
+def _lyrics_for(genre: str, track_id: int, seed: int) -> str:
+    """Deterministic genre-vocab lyric text keyed by (seed, track_id) —
+    the same recipe make_dataset uses."""
+    vocab = _LYRIC_VOCAB[_recipe_genre(genre)].split()
+    r = np.random.default_rng(seed * 1000003 + int(track_id))
+    return " ".join(r.choice(vocab, size=60, replace=True))
+
+
+def dataset_from_manifest(manifest_path, seed: int = 42) -> SyntheticDataset:
+    """SyntheticDataset driven by a REAL manifest (VERDICT r3 next-step #3).
+
+    Round-robin synthetic corpora are too clean: the reference's committed
+    2,924-row manifest has skewed genre counts (494/492/487/487/486/478),
+    real non-contiguous track_ids, real titles/artists, and a
+    2,490-whisper/433-genius/1-both text-source mix
+    (/root/reference/data/fma_manifest_combined_text_only_clean.csv) — the
+    join topology scripts 12:35-60 and 13:15-57 actually run against.  This
+    source keeps every one of those real columns and synthesizes only the
+    waveforms (per-genre recipes keyed by the REAL track_id) and lyric
+    texts (genre vocab, rows with text_exists only), so the full pipeline
+    rehearses the real id-join/mask/skew behavior before audio ever mounts.
+    """
+    from vae_hmc_tpu.core.manifest import read_manifest
+
+    m = read_manifest(manifest_path, required=("track_id", "genre"))
+    track_ids = m.track_ids
+    genres = m.genres
+    titles = [r.get("title", f"track {r['track_id']}") for r in m.rows]
+    artists = [r.get("artist", "unknown") for r in m.rows]
+    # text_exists column when present (reference 05:46-48); otherwise any
+    # text path counts as coverage
+    has = []
+    for r in m.rows:
+        te = r.get("text_exists")
+        if te is not None and te != "":
+            has.append(str(te).strip().lower() == "true")
+        else:
+            has.append(bool(r.get("text_path_combined")
+                            or r.get("lyrics_path")))
+    has_lyrics = np.asarray(has, dtype=bool)
+    lyrics: List[Optional[str]] = [
+        _lyrics_for(genres[i], int(track_ids[i]), seed) if has_lyrics[i]
+        else None
+        for i in range(len(m))
+    ]
+    sources = [r.get("text_source_combined", r.get("lyrics_source", ""))
+               for r in m.rows]
+    return SyntheticDataset(track_ids=track_ids, genres=genres, titles=titles,
+                            artists=artists, has_lyrics=has_lyrics,
+                            lyrics=lyrics, text_sources=sources)
+
+
 def waveform(track_id: int, genre: str, duration_s: float, seed: int = 42,
              sample_rate: int = 22050) -> np.ndarray:
     """Deterministic per-track waveform from the genre recipe."""
-    (f_lo, f_hi), n_harm, decay, noise, am = _RECIPES[str(genre)]
+    (f_lo, f_hi), n_harm, decay, noise, am = _RECIPES[_recipe_genre(genre)]
     r = np.random.default_rng(seed * 7 + int(track_id))
     n = int(round(sample_rate * duration_s))
     t = np.arange(n, dtype=np.float64) / sample_rate
@@ -125,6 +191,31 @@ def waveform_batch(ds: SyntheticDataset, idx: Sequence[int],
     ])
 
 
+def synth_param_arrays(ds: SyntheticDataset, idx: Sequence[int],
+                       seed: int = 42) -> Dict[str, np.ndarray]:
+    """Per-track synthesis parameters as small host arrays (~16 floats per
+    track): the host side of device synthesis.  Same numpy RNG recipe as
+    waveform(), so device synthesis keeps the genre structure identical."""
+    max_h = max(r[1] for r in _RECIPES.values())
+    b = len(idx)
+    p = {k: np.zeros((b, max_h), np.float32)
+         for k in ("amps", "freqs", "phases")}
+    for k in ("am_rate", "am_phase", "noise_lv"):
+        p[k] = np.zeros((b, 1), np.float32)
+    for row, i in enumerate(idx):
+        (f_lo, f_hi), n_harm, decay, noise, am = _RECIPES[_recipe_genre(ds.genres[i])]
+        r = np.random.default_rng(seed * 7 + int(ds.track_ids[i]))
+        f0 = r.uniform(f_lo, f_hi)
+        for h in range(n_harm):
+            p["amps"][row, h] = decay ** h
+            p["freqs"][row, h] = f0 * (h + 1)
+            p["phases"][row, h] = r.uniform(0, 2 * np.pi)
+        p["am_rate"][row, 0] = am
+        p["am_phase"][row, 0] = r.uniform(0, 2 * np.pi)
+        p["noise_lv"][row, 0] = noise
+    return p
+
+
 def waveform_batch_device(ds: SyntheticDataset, idx: Sequence[int],
                           duration_s: float, seed: int = 42):
     """Device-side batch synthesis: same per-genre recipes, with the trig and
@@ -139,39 +230,20 @@ def waveform_batch_device(ds: SyntheticDataset, idx: Sequence[int],
     the genre structure is identical to waveform_batch.
     """
     import jax
-    import jax.numpy as jnp
 
     n = int(round(ds.sample_rate * duration_s))
-    max_h = max(r[1] for r in _RECIPES.values())
-    b = len(idx)
-    amps = np.zeros((b, max_h), np.float32)
-    freqs = np.zeros((b, max_h), np.float32)
-    phases = np.zeros((b, max_h), np.float32)
-    am_rate = np.zeros((b, 1), np.float32)
-    am_phase = np.zeros((b, 1), np.float32)
-    noise_lv = np.zeros((b, 1), np.float32)
-    for row, i in enumerate(idx):
-        (f_lo, f_hi), n_harm, decay, noise, am = _RECIPES[str(ds.genres[i])]
-        r = np.random.default_rng(seed * 7 + int(ds.track_ids[i]))
-        f0 = r.uniform(f_lo, f_hi)
-        for h in range(n_harm):
-            amps[row, h] = decay ** h
-            freqs[row, h] = f0 * (h + 1)
-            phases[row, h] = r.uniform(0, 2 * np.pi)
-        am_rate[row, 0] = am
-        am_phase[row, 0] = r.uniform(0, 2 * np.pi)
-        noise_lv[row, 0] = noise
-
+    p = synth_param_arrays(ds, idx, seed)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(idx[0]))
-    return _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
-                      n, ds.sample_rate)
+    return _synth_jit(p["amps"], p["freqs"], p["phases"], p["am_rate"],
+                      p["am_phase"], p["noise_lv"], key, n, ds.sample_rate)
 
 
-@partial(jax.jit, static_argnames=("n", "sample_rate"))
-def _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
+def synth_core(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
                n: int, sample_rate: int):
-    """Module-level jit: compiled once per (batch, n) shape — an inner
-    closure would retrace/recompile on every call."""
+    """Jittable device synthesis body — shared by the standalone batch
+    program (_synth_jit) and the fused synth->feature scan programs
+    (pipelines.features), so both produce bit-identical waveforms."""
+    import jax
     import jax.numpy as jnp
 
     t = jnp.arange(n, dtype=jnp.float32) / sample_rate
@@ -187,3 +259,12 @@ def _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
     sig = sig + noise_lv * jax.random.normal(key, sig.shape)
     peak = jnp.max(jnp.abs(sig), axis=1, keepdims=True) + 1e-9
     return sig * (0.3 / peak)
+
+
+@partial(jax.jit, static_argnames=("n", "sample_rate"))
+def _synth_jit(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
+               n: int, sample_rate: int):
+    """Module-level jit: compiled once per (batch, n) shape — an inner
+    closure would retrace/recompile on every call."""
+    return synth_core(amps, freqs, phases, am_rate, am_phase, noise_lv, key,
+                      n, sample_rate)
