@@ -141,3 +141,26 @@ class TestFusedSynthPrograms:
                                                        seed=42))
             for idx in ([0, 1, 2, 3], [4, 5])])
         np.testing.assert_array_equal(got, ref)
+
+    def test_fused_sharded_matches_single_device(self):
+        """The mesh-sharded fused program (scan + per-step 'data' sharding)
+        must reproduce the single-device fused output for both kernels."""
+        from vae_hmc_tpu.core.config import MelConfig, MfccConfig
+        from vae_hmc_tpu.parallel.features_dp import synth_features_fused_sharded
+        from vae_hmc_tpu.parallel.mesh import make_mesh
+        from vae_hmc_tpu.pipelines import features
+
+        src = self._source(11)
+        mesh = make_mesh(8)                      # 11 rows, batch rounds to 8
+        mel_cfg = MelConfig(duration_s=1.0)
+        got = np.asarray(synth_features_fused_sharded(
+            src, mel_cfg, mesh, device_batch=5, kind="logmel"))
+        ref, _, _ = features.build_logmel(src, mel_cfg, device_batch=8,
+                                          hbm_resident=True)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+        mfcc_cfg = MfccConfig(duration_s=1.0)
+        got_m = np.asarray(synth_features_fused_sharded(
+            src, mfcc_cfg, mesh, device_batch=5, kind="mfcc"))
+        ref_m, _, _ = features.build_mfcc_stats(src, mfcc_cfg, device_batch=8)
+        np.testing.assert_allclose(got_m, ref_m, rtol=2e-4, atol=2e-4)

@@ -63,6 +63,39 @@ def logmel_batch_sharded(y, cfg, mesh):
     return sharded_batch_apply(lambda a: logmel_batch(a, cfg), mesh, y)
 
 
+def synth_features_fused_sharded(source, cfg, mesh, device_batch: int = 32,
+                                 kind: str = "logmel"):
+    """Mesh-sharded version of the fused synth->feature scan programs
+    (pipelines.features): the whole corpus stage is ONE program AND each
+    scan step's batch dimension shards over 'data'.
+
+    Combines the two scaling answers for the feature layer: the fused scan
+    kills per-batch dispatch latency (round-4 congestion fix), the 'data'
+    sharding splits per-step HBM/compute across devices with zero
+    collectives (per-row programs cannot leak rows; the partitionable
+    threefry noise draw partitions without gathering).  device_batch is
+    rounded up to a data-axis multiple so the sharded dim always divides.
+
+    -> (N, n_mels, T) for kind="logmel", (N, 2*n_mfcc) for kind="mfcc",
+    sliced to the true row count.
+    """
+    from vae_hmc_tpu.pipelines.features import (_stacked_synth_params,
+                                                _synth_logmel_program,
+                                                _synth_mfcc_program)
+
+    n = len(source)
+    n_data = int(mesh.shape.get("data", 1))
+    b = -(-device_batch // n_data) * n_data
+    params, starts = _stacked_synth_params(source, n, b)
+    sharding = NamedSharding(mesh, P(None, "data"))   # (scan, batch, ...)
+    params = {k: jax.device_put(v, sharding) for k, v in params.items()}
+    program = (_synth_logmel_program if kind == "logmel"
+               else _synth_mfcc_program)
+    out = program(params, jnp.asarray(starts), source.seed,
+                  source.sample_rate, cfg)
+    return out[:n]
+
+
 def mfcc_stats_batch_sharded(y, cfg, mesh, lengths=None):
     """Sharded `ops.mfcc.mfcc_stats_batch`: (B, n_samples) -> (B, 2*n_mfcc).
 
