@@ -63,8 +63,7 @@ class RepData:
         x_dev = jnp.asarray(x, dtype=jnp.float32)
         if x_dev.ndim > 2:
             x_dev = x_dev.reshape(x_dev.shape[0], -1)
-        xc = x_dev - jnp.mean(x_dev, axis=0, keepdims=True)
-        d_dev = jnp.sqrt(internal.pairwise_sq_dists(xc))
+        d_dev = internal.centered_euclidean_dists(x_dev)  # ONE program
         rep = cls(name=name, y_true=y_true, x_dev=x_dev, dists_dev=d_dev,
                   _x_host=x_host)
         rep._start_dists_prefetch()

@@ -37,15 +37,8 @@ def _as_codes(labels) -> np.ndarray:
 # collapses the program count to the handful of bucket sizes.
 
 
-def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
-    """Squared euclidean distances via the MXU: |a|^2 + |b|^2 - 2ab, clamped.
-
-    Mean-centering the features first keeps |a|^2 small relative to the cross
-    term, which is what keeps f32 cancellation error acceptable on
-    high-dimensional inputs (the 82k-dim mel-flat representation).
-    """
-    x = jnp.asarray(x, jnp.float32)
-    y = x if y is None else jnp.asarray(y, jnp.float32)
+@jax.jit
+def _pairwise_sq_impl(x, y):
     xn = jnp.sum(x * x, axis=1)[:, None]
     yn = jnp.sum(y * y, axis=1)[None, :]
     # HIGHEST precision: full-f32 MXU passes.  The TPU default (bf16 inputs)
@@ -53,6 +46,30 @@ def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     # absolute error in sklearn-parity metrics.
     d2 = xn + yn - 2.0 * jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(d2, 0.0)
+
+
+def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+    """Squared euclidean distances via the MXU: |a|^2 + |b|^2 - 2ab, clamped.
+
+    Mean-centering the features first keeps |a|^2 small relative to the cross
+    term, which is what keeps f32 cancellation error acceptable on
+    high-dimensional inputs (the 82k-dim mel-flat representation).
+
+    Jitted: eager call sites (dbscan/agglomerative/sweep distance caches)
+    otherwise pay ~5 separate device dispatches for the op chain.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = x if y is None else jnp.asarray(y, jnp.float32)
+    return _pairwise_sq_impl(x, y)
+
+
+@jax.jit
+def centered_euclidean_dists(x: jax.Array) -> jax.Array:
+    """(N, ...) -> (N, N) euclidean distances of mean-centered flattened
+    rows, as ONE program (the sweep's per-representation distance cache)."""
+    x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    return jnp.sqrt(pairwise_sq_dists(xc))
 
 
 def _center(x: jax.Array) -> jax.Array:

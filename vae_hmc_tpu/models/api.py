@@ -42,7 +42,10 @@ def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
     model = DenseVAE(input_dim=x.shape[1], hidden_dims=tuple(cfg.hidden_dims),
                      latent_dim=cfg.latent_dim)
     key = jax.random.PRNGKey(cfg.seed)
-    params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key)
+    # dummy inputs built INSIDE the jit: each eager jnp.zeros is its own
+    # device dispatch (~0.5-1 s under tunnel congestion)
+    d = x.shape[1]
+    params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
 
     def apply_fn(p, rng, xb):
         return model.apply(p, xb, rng)
@@ -75,8 +78,9 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
     arrays = [jnp.asarray(x, jnp.float32)]
     if cond_dim:
         arrays.append(jnp.asarray(cond, jnp.float32))
-        params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key,
-                                     jnp.zeros((1, cond_dim)))
+        d = x.shape[1]
+        params = jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, d)), k, jnp.zeros((1, cond_dim))))(key)
 
         def apply_fn(p, rng, xb, cb):
             return model.apply(p, xb, rng, cb)
@@ -84,7 +88,8 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
         def encode_mu(p, xb, cb):
             return model.apply(p, xb, cb, method=model.encode)[0]
     else:
-        params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])), key)
+        d = x.shape[1]
+        params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
 
         def apply_fn(p, rng, xb):
             return model.apply(p, xb, rng)
@@ -118,9 +123,10 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
                       channels=tuple(cfg.audio_channels), fc_dim=cfg.audio_fc_dim,
                       latent_dim=cfg.latent_dim, lyrics_dim=lyr.shape[1])
     key = jax.random.PRNGKey(cfg.seed)
-    params = jax.jit(model.init)(key, jnp.zeros((1,) + x_nhwc.shape[1:]),
-                                 jnp.zeros((1, lyr.shape[1])),
-                                 jnp.zeros((1, 1)), key)
+    xs, ls = x_nhwc.shape[1:], lyr.shape[1]
+    params = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1,) + tuple(xs)), jnp.zeros((1, ls)),
+        jnp.zeros((1, 1)), k))(key)
 
     def apply_fn(p, rng, xb, lb, mb):
         return model.apply(p, xb, lb, mb, rng)
@@ -159,7 +165,8 @@ def train_ae(x: np.ndarray, cfg: AeConfig, verbose: bool = False):
     model = AE(input_dim=x.shape[1], hidden_dim=cfg.hidden_dim,
                latent_dim=cfg.latent_dim)
     key = jax.random.PRNGKey(cfg.seed)
-    params = jax.jit(model.init)(key, jnp.zeros((1, x.shape[1])))
+    d = x.shape[1]
+    params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d))))(key)
 
     def apply_fn(p, rng, xb):
         xhat, z = model.apply(p, xb)

@@ -282,16 +282,23 @@ def fit(
     # host round trips of the incremental path, which matter when the host
     # link has high latency (and always cost dispatch overhead).
     if checkpoint_dir is None and not verbose:
-        keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
-            jnp.arange(epochs))
-        perm_keys = jax.vmap(
-            lambda k: jax.random.fold_in(k, perm_tag))(keys)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(perm_keys)
-        betas = jnp.asarray([_beta_at(beta, e, kl_anneal_epochs)
-                             for e in range(epochs)], jnp.float32)
+        # betas computed on host (np): uploading an argument is not a
+        # dispatch; keys/perms derive from `root` INSIDE the program —
+        # the eager vmap trio here used to cost ~6 small dispatches per
+        # fit() (~0.5-1 s each under tunnel congestion), and the values
+        # are bit-identical computed jitted or eager
+        betas = np.asarray([_beta_at(beta, e, kl_anneal_epochs)
+                            for e in range(epochs)], np.float32)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_all(p, opt_state, arrs, perms, betas, keys):
+        def train_all(p, opt_state, arrs, root, betas):
+            keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
+                jnp.arange(epochs))
+            perm_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, perm_tag))(keys)
+            perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
+                perm_keys)
+
             def epoch_body(carry, inp):
                 p, opt_state = carry
                 perm, beta_now, ekey = inp
@@ -330,8 +337,7 @@ def fit(
         _dbg = _os.environ.get("VAE_HMC_DEBUG_TIMING")
         if _dbg:
             _t0 = _time.perf_counter()
-            lowered = train_all.lower(params, opt_state, flats, perms,
-                                      betas, keys)
+            lowered = train_all.lower(params, opt_state, flats, root, betas)
             print(f"[fit] trace+lower {_time.perf_counter() - _t0:.1f}s",
                   flush=True)
             _t0 = _time.perf_counter()
@@ -340,7 +346,7 @@ def fit(
                   flush=True)
             _t0 = _time.perf_counter()
             params, opt_state, hist = compiled(params, opt_state, flats,
-                                               perms, betas, keys)
+                                               root, betas)
             jax.block_until_ready(hist)
             print(f"[fit] execute-dispatch {_time.perf_counter() - _t0:.1f}s"
                   " (block_until_ready is unreliable on tunneled devices;"
@@ -348,7 +354,7 @@ def fit(
                   flush=True)
         else:
             params, opt_state, hist = train_all(params, opt_state, flats,
-                                                perms, betas, keys)
+                                                root, betas)
         if _dbg:
             _t0 = _time.perf_counter()
         hist = np.asarray(hist)

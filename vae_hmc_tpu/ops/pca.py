@@ -100,6 +100,11 @@ def _fit_impl(x, k: int, mode: str):
     return mean, vt, var, var / total_var
 
 
+@jax.jit
+def _transform_impl(x, mean, components):
+    return (x - mean) @ components.T
+
+
 ArrayAttr = Optional["np.ndarray | jax.Array"]
 
 
@@ -146,8 +151,10 @@ class PCA:
         return self
 
     def transform(self, x) -> jnp.ndarray:
-        x = jnp.asarray(x, dtype=jnp.float32)
-        return (x - jnp.asarray(self.mean_)) @ jnp.asarray(self.components_).T
+        # one program: eager sub+matmul is 2 device dispatches per call
+        return _transform_impl(jnp.asarray(x, dtype=jnp.float32),
+                               jnp.asarray(self.mean_),
+                               jnp.asarray(self.components_))
 
     def fit_transform(self, x) -> jnp.ndarray:
         return self.fit(x).transform(x)

@@ -13,8 +13,16 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.jit
+def _transform_jit(x, mean, scale):
+    # one program instead of eager sub+div (each eager op is a separate
+    # device dispatch — ~0.5-1 s under tunnel congestion)
+    return (x - mean) / scale
 
 
 @dataclass
@@ -33,9 +41,10 @@ class StandardScaler:
     def transform(self, x):
         if self.mean_ is None:
             raise RuntimeError("scaler not fitted")
-        mean = jnp.asarray(self.mean_, dtype=jnp.float32)
-        scale = jnp.asarray(self.scale_, dtype=jnp.float32)
-        return (jnp.asarray(x, dtype=jnp.float32) - mean) / scale
+        return _transform_jit(
+            jnp.asarray(x, dtype=jnp.float32),
+            np.asarray(self.mean_, dtype=np.float32),
+            np.asarray(self.scale_, dtype=np.float32))
 
     def fit_transform(self, x):
         return self.fit(x).transform(x)

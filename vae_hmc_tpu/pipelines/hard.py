@@ -161,15 +161,17 @@ def train_hard(ws: Workspace, cfg: HardVaeConfig = HardVaeConfig(),
                                         "Training Loss (Beta-VAE/CVAE)"),
         plots_dir / "training_curve.png", tag)
 
-    # reconstruction overlays on 6 random rows (ref 19:304-334)
+    # reconstruction overlays on 6 random rows (ref 19:304-334); the
+    # forward runs jitted — eagerly it is ~15 separate device dispatches
+    # (one per layer op), each ~0.5-1 s under tunnel congestion
     import jax
     rng = np.random.default_rng(cfg.seed)
     idx = rng.choice(x.shape[0], size=min(6, x.shape[0]), replace=False)
     key = jax.random.PRNGKey(cfg.seed)
     if cond is not None:
-        xhat, _, _ = model.apply(res.params, x[idx], key, cond[idx])
+        xhat, _, _ = jax.jit(model.apply)(res.params, x[idx], key, cond[idx])
     else:
-        xhat, _, _ = model.apply(res.params, x[idx], key)
+        xhat, _, _ = jax.jit(model.apply)(res.params, x[idx], key)
     dims = min(80, x.shape[1])
     artifacts.save_and_snapshot(
         lambda p: plots.recon_overlay(x[idx][:, :dims],
