@@ -75,3 +75,38 @@ def test_bf16_mixed_precision_tracks_f32():
     for a, b in zip(r32.history, rbf.history):
         assert abs(a["total"] - b["total"]) < 0.03 * max(abs(a["total"]), 1e-3)
     assert rbf.history[-1]["total"] < rbf.history[0]["total"]
+
+
+def test_fit_dispatch_budget():
+    """Pin the round-4 dispatch diet: a full train_dense_vae (init + fused
+    fit + latent export) must stay a HANDFUL of compiled-program dispatches
+    — under tunnel congestion each dispatch costs ~0.5-1 s, so this count
+    bounds the congested wall clock (VALIDATION.md round 4).  Uses the same
+    ExecuteReplicated hook as tools/count_dispatches.py; skips if the jax
+    internal moves."""
+    import pytest
+
+    try:
+        from jax._src.interpreters import pxla
+        orig = pxla.ExecuteReplicated.__call__
+    except (ImportError, AttributeError):
+        pytest.skip("jax internal ExecuteReplicated moved")
+
+    from vae_hmc_tpu.core.config import DenseVaeConfig
+    from vae_hmc_tpu.models import api as model_api
+
+    count = [0]
+
+    def patched(self, *a, **k):
+        count[0] += 1
+        return orig(self, *a, **k)
+
+    pxla.ExecuteReplicated.__call__ = patched
+    try:
+        x = np.random.default_rng(0).normal(0, 1, (24, 80)).astype(np.float32)
+        model_api.train_dense_vae(x, DenseVaeConfig(epochs=2))
+    finally:
+        pxla.ExecuteReplicated.__call__ = orig
+    # measured 6 after the round-4 diet (was 16); small headroom for
+    # jax-version noise, but a regression to eager per-op dispatch trips this
+    assert count[0] <= 9, f"train_dense_vae dispatched {count[0]} programs"
