@@ -144,8 +144,11 @@ def main() -> None:
             minilm_state = minilm_mod.synthetic_minilm(texts_all)
             lyrics_backend = "minilm-flax (synthetic real-shaped weights)"
         # warm the compile outside the timed region (persistent-cached
-        # anyway; model LOAD is setup, like the reference's model download)
-        minilm_mod.encode_texts(*minilm_state, texts_all[:1], batch_size=128,
+        # anyway; model LOAD is setup, like the reference's model download).
+        # Must use the FULL corpus: encode_texts is one scanned program
+        # whose batch-count is a shape, so a 1-text warm call would compile
+        # the wrong program.
+        minilm_mod.encode_texts(*minilm_state, texts_all, batch_size=128,
                                 to_host=False)
 
     # =================== timed region ===================

@@ -269,10 +269,16 @@ def synthetic_minilm(texts: List[str] = (), seed: int = 7):
 def encode_texts(model, params, tok: WordPieceTokenizer, texts: List[str],
                  batch_size: int = 128, pad_to: int = 0,
                  to_host: bool = True):
-    """Batched encode at ONE fixed (batch, seq) shape -> one compiled
-    program.  (Padding each batch to its own max length — what a naive port
-    does — recompiles for every distinct length; at ~1 s/compile through a
-    remote compile service that dwarfs the forward itself.)
+    """Whole corpus encode as ONE scanned program at ONE fixed
+    (batch, seq) shape.
+
+    Two dispatch hazards both avoided: padding each batch to its own max
+    length (a naive port) recompiles per distinct length at ~1 s/compile
+    through the remote compile service, and dispatching per batch costs
+    ~0.5-1 s per dispatch under tunnel congestion (23 batches for the
+    2,924-text corpus — round-4 dispatch diet).  Tokenization stays on
+    host; the (n_batches, B, seq) id/mask arrays feed one lax.scan whose
+    body is the transformer forward.
 
     pad_to=0 pads to the tokenizer's max_len (256 — the sentence-
     transformers truncation bound for this model, matching what real FMA
@@ -280,21 +286,25 @@ def encode_texts(model, params, tok: WordPieceTokenizer, texts: List[str],
     dev devices host readback is the slow direction).
     """
     pad_to = pad_to or tok.max_len
-    jfn = jax.jit(lambda p, i, m: model.apply(p, i, m))
-    outs = []
-    for s in range(0, len(texts), batch_size):
+    n = len(texts)
+    nb = -(-n // batch_size)
+    ids_all = np.full((nb * batch_size, pad_to), tok.pad, np.int32)
+    mask_all = np.zeros((nb * batch_size, pad_to), np.float32)
+    for s in range(0, n, batch_size):
         ids, mask = tok.encode_batch(texts[s: s + batch_size])
-        b, seq = ids.shape
-        if seq < pad_to:
-            ids = np.pad(ids, ((0, 0), (0, pad_to - seq)),
-                         constant_values=tok.pad)
-            mask = np.pad(mask, ((0, 0), (0, pad_to - seq)))
-        if b < batch_size:          # tail batch: keep the single shape
-            ids = np.pad(ids, ((0, batch_size - b), (0, 0)),
-                         constant_values=tok.pad)
-            mask = np.pad(mask, ((0, batch_size - b), (0, 0)))
-        outs.append(jfn(params, ids[:, :pad_to], mask[:, :pad_to])[:b])
-    out = jnp.concatenate(outs, axis=0)
+        seq = min(ids.shape[1], pad_to)
+        ids_all[s: s + ids.shape[0], :seq] = ids[:, :seq]
+        mask_all[s: s + ids.shape[0], :seq] = mask[:, :seq]
+    ids3 = ids_all.reshape(nb, batch_size, pad_to)
+    mask3 = mask_all.reshape(nb, batch_size, pad_to)
+
+    def scan_fn(p, i3, m3):
+        return jax.lax.scan(
+            lambda _, im: (None, model.apply(p, im[0], im[1])),
+            None, (i3, m3))[1]
+
+    out = jax.jit(scan_fn)(params, ids3, mask3)
+    out = out.reshape(nb * batch_size, -1)[:n]
     return np.asarray(out, np.float32) if to_host else out
 
 
