@@ -111,3 +111,36 @@ def test_medium_tier_e2e_on_manifest_backed_source(tmp_path):
             ).read_text().splitlines()
     assert mets[0].startswith("representation,algo,params")
     assert len(mets) > 3
+
+
+@pytest.mark.skipif(not REF_MANIFEST.exists(),
+                    reason="reference manifest not mounted")
+def test_hard_tier_e2e_on_manifest_backed_source(tmp_path):
+    """run-hard --synthetic-audio: the hard prep (script 18) keeps the
+    manifest's real ids and text coverage through the early-fusion path."""
+    from vae_hmc_tpu import cli
+
+    n, n_no_text = 24, 4
+    mp = _tiny_manifest(tmp_path, n, n_no_text)
+    rc = cli.main([
+        "run-hard", "--manifest", str(mp), "--synthetic-audio",
+        "--epochs", "2", "--duration", "1.5", "--root", str(tmp_path)])
+    assert not rc
+
+    import csv
+    with open(mp, newline="", encoding="utf-8") as f:
+        man_rows = list(csv.DictReader(f))
+    man_ids = np.asarray([int(r["track_id"]) for r in man_rows])
+
+    ids = np.load(tmp_path / "data" / "hard" / "track_ids.npy")
+    np.testing.assert_array_equal(ids, man_ids)     # ID-exact, manifest order
+    genres = np.load(tmp_path / "data" / "hard" / "genres.npy",
+                     allow_pickle=True)
+    np.testing.assert_array_equal(
+        genres, np.asarray([r["genre"] for r in man_rows], dtype=object))
+    # no-text rows embed as empty text and detect language "none"
+    langs = np.load(tmp_path / "data" / "hard" / "languages.npy",
+                    allow_pickle=True)
+    assert (langs == "none").sum() == n_no_text
+    z = np.load(tmp_path / "data" / "hard" / "latents_mu.npy")
+    assert z.shape[0] == n and np.isfinite(z).all()
