@@ -168,6 +168,16 @@ def main() -> None:
     src = SyntheticSource(ds, seed=42, device=True)
     x_mel, _ids, _report = feat_pipe.build_logmel(
         src, mel_cfg, device_batch=128, hbm_resident=True)
+    # build_logmel DROPS non-finite rows; the lyrics/has/genre arrays below
+    # are built from the full track list, so a silent drop would misalign
+    # every row past it (audio i+1 paired with lyrics i) and corrupt the
+    # headline metric.  Synthetic waveforms are finite by construction —
+    # make any violation loud rather than silently shifting rows.
+    if len(_ids) != n_tracks:
+        raise RuntimeError(
+            f"feature build dropped {n_tracks - len(_ids)} non-finite rows; "
+            "bench requires full alignment (see report: "
+            f"{[r for r in _report.rows if r[2] != 'ok'][:5]})")
     x_mel = x_mel[..., None]                           # (N, 128, T, 1) NHWC
     # stage-boundary sync via a tiny scalar HOST FETCH: block_until_ready is
     # unreliable on the async tunneled platform (CLAUDE.md), which would let

@@ -136,3 +136,34 @@ def test_dbscan_grid_matches_per_cell_and_sklearn():
                                       err_msg=f"cell {(eps, ms)}")
         sk = SkDBSCAN(eps=eps, min_samples=ms).fit(x).labels_
         np.testing.assert_array_equal(lab, sk, err_msg=f"cell {(eps, ms)}")
+
+
+def test_dbscan_threshold_band_refinement_matches_sklearn_f64():
+    """Regression (round 4): a border pair whose true distance is just
+    under eps but whose f32 dot-trick squared distance lands just OVER
+    eps^2 (large coordinate offsets -> catastrophic cancellation).  sklearn
+    (KDTree, f64 accumulation) keeps the edge; the naive f32 adjacency
+    dropped it, flipping the border point to noise (first seen as a
+    session-order failure: d=0.29999402 vs eps=0.3).  neighbor_graph must
+    refine threshold-adjacent pairs in f64 (_refine_threshold_band)."""
+    from sklearn.cluster import DBSCAN as SkDBSCAN
+
+    from vae_hmc_tpu.cluster.dbscan import dbscan, dbscan_sweep
+    from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+
+    eps, ms = 0.3, 3
+    # hardcoded flip pair (searched): f32 dot-trick d2 = 0.09082 > 0.09,
+    # true f64 d2 = 0.0899977 <= 0.09
+    c = np.asarray([43.38662338256836, 76.28477478027344], np.float32)
+    b = np.asarray([43.57174301147461, 76.52084350585938], np.float32)
+    x = np.stack([c, c + np.float32(0.01), c - np.float32(0.01), b])
+    d2 = np.asarray(pairwise_sq_dists(x))
+    true = float(((c.astype(np.float64) - b.astype(np.float64)) ** 2).sum())
+    assert true <= eps * eps < d2[0, 3], \
+        "construction no longer exercises the cancellation flip"
+    sk = SkDBSCAN(eps=eps, min_samples=ms).fit_predict(x)
+    assert sk[3] == 0, "sklearn must see b as a border point of c's cluster"
+    np.testing.assert_array_equal(dbscan(x, eps, ms), sk)
+    # the host sweep path shares the refined adjacency
+    np.testing.assert_array_equal(
+        dbscan_sweep(x, [eps], [ms])[(eps, ms)], sk)

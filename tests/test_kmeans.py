@@ -95,3 +95,25 @@ def test_dynamic_k_nonbucket_quality(rng):
     assert set(np.unique(res.labels)) == set(range(5))
     sk = SkKMeans(n_clusters=5, n_init=10, random_state=42).fit(x)
     assert res.inertia <= sk.inertia_ * 1.02
+
+
+def test_repdata_kmeans_labels_memoized_and_exact(rng):
+    """RepData.kmeans_labels (round 4): scripts 13/16/14/15 share one fit
+    per (k, n_init, seed) cell — the memoized labels must be the SAME
+    object on reuse and bit-identical to an independent kmeans fit on the
+    same data."""
+    from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
+    from vae_hmc_tpu.cluster.sweep import RepData
+
+    x, _ = _blobs(rng, n=120, k=4)
+    rep = RepData.build("r", x, None)
+    a = rep.kmeans_labels(4, n_init=10, seed=42)
+    b = rep.kmeans_labels(4, n_init=10, seed=42)
+    assert a is b, "second call must return the memoized labels"
+    fresh = kmeans_fit_predict(x, 4, n_init=10, seed=42)
+    np.testing.assert_array_equal(np.asarray(a), fresh)
+    # a different cell is a different cache entry, not a collision
+    c = rep.kmeans_labels(3, n_init=10, seed=42)
+    assert c is not a
+    np.testing.assert_array_equal(
+        np.asarray(c), kmeans_fit_predict(x, 3, n_init=10, seed=42))

@@ -79,6 +79,21 @@ def main():
             easy.compare_pca_baseline(ws, KMeansConfig(n_clusters=5))
             sc.mark("compare_pca_baseline (09)")
         elif tier == "medium":
+            # per-stage breakdown for free: run_medium_pipeline already
+            # wraps every stage in StageTimer.stage(name) — mark the
+            # dispatch counter at each stage exit
+            import contextlib
+
+            from vae_hmc_tpu.core import profiling
+            _orig_stage = profiling.StageTimer.stage
+
+            @contextlib.contextmanager
+            def _counting_stage(self, name, n_items=None):
+                with _orig_stage(self, name, n_items):
+                    yield
+                sc.mark(name)
+
+            profiling.StageTimer.stage = _counting_stage
             from vae_hmc_tpu.pipelines import medium
             gm = {int(t_): str(g) for t_, g in zip(src.track_ids, src.genres)}
             medium.run_medium_pipeline(
@@ -86,7 +101,8 @@ def main():
                 vae_cfg=ConvMMVaeConfig(
                     epochs=2, in_frames=MelConfig(duration_s=1.5).n_frames),
                 write_mel_features=False)
-            sc.mark("run_medium_pipeline (10-17)")
+            profiling.StageTimer.stage = _orig_stage
+            sc.mark("(outside stages)")
         elif tier == "hard":
             from vae_hmc_tpu.pipelines import hard
             mf = MfccConfig(duration_s=1.5, min_duration_s=1.0)

@@ -29,11 +29,16 @@ import jax as _jax
 # `jax.devices()` HANGS even when the caller exported JAX_PLATFORM_NAME=cpu
 # (env-var selection no longer bypasses the plugin; only the config update
 # does).  Translate the documented user override here — every entry point
-# imports this package before touching a backend.  JAX_PLATFORM_NAME (the
-# explicit user intent, per CLAUDE.md / the verify recipe) deliberately
-# wins over the ambient JAX_PLATFORMS.
-_plat = (_os.environ.get("JAX_PLATFORM_NAME")
-         or _os.environ.get("JAX_PLATFORMS"))
+# imports this package before touching a backend.  ONLY JAX_PLATFORM_NAME
+# (the explicit user intent, per CLAUDE.md / the verify recipe) is
+# translated: the ambient JAX_PLATFORMS is sitecustomize-pinned to "axon"
+# in every process, so echoing it into the config would CLOBBER a prior
+# explicit jax.config.update("jax_platforms", "cpu") done before this
+# import (e.g. __graft_entry__.dryrun_multichip) — re-introducing the
+# outage hang this shim exists to prevent.  (A user-exported JAX_PLATFORMS
+# is overwritten by the sitecustomize before any Python here runs, so the
+# old fallback could only ever observe the pinned "axon" anyway.)
+_plat = _os.environ.get("JAX_PLATFORM_NAME")
 if _plat:
     try:
         _jax.config.update("jax_platforms", _plat.lower())

@@ -21,6 +21,19 @@ from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
                                      TextEmbedConfig, Workspace)
 
 
+def _manifest_path(args) -> Path:
+    """Resolve --manifest: absolute paths as given; relative paths against
+    --root (the documented workspace root where data/ lives), falling back
+    to CWD only when the rooted path is absent but the CWD one exists."""
+    p = Path(args.manifest)
+    if p.is_absolute():
+        return p
+    rooted = Path(getattr(args, "root", ".")) / p
+    if rooted.exists() or not p.exists():
+        return rooted
+    return p
+
+
 def _source(args):
     from vae_hmc_tpu.pipelines.sources import FileSource, SyntheticSource
 
@@ -30,7 +43,7 @@ def _source(args):
         # REAL manifest rows (ids, genres, titles, text coverage), synthetic
         # waveforms: rehearses the reference's true join topology before
         # audio mounts (see synthetic.dataset_from_manifest)
-        ds = dataset_from_manifest(Path(args.manifest), seed=args.seed)
+        ds = dataset_from_manifest(_manifest_path(args), seed=args.seed)
         return SyntheticSource(ds, seed=args.seed,
                                device=jax.default_backend() == "tpu")
     if getattr(args, "synthetic", 0):
@@ -41,7 +54,7 @@ def _source(args):
                                     device=jax.default_backend() == "tpu")
     from vae_hmc_tpu.core.manifest import read_manifest
 
-    m = read_manifest(Path(args.manifest))
+    m = read_manifest(_manifest_path(args))
     return FileSource.from_manifest(m, root=Path(args.root))
 
 
@@ -365,7 +378,8 @@ def main(argv=None) -> int:
                  "viz-side-by-side", "viz-cluster", "run-medium"):
         from vae_hmc_tpu.pipelines import medium
         gm = None
-        mp = Path(args.root) / args.manifest
+        src = None
+        mp = _manifest_path(args)
         if (getattr(args, "synthetic", 0)
                 or getattr(args, "synthetic_audio", False)):
             src = _source(args)
@@ -414,7 +428,11 @@ def main(argv=None) -> int:
                       "perf mode; quality columns are not comparable to "
                       "the f32 parity run", file=sys.stderr)
             out = medium.run_medium_pipeline(
-                _source(args), ws, mel_cfg=mel_cfg,
+                # reuse the source already built for the genre map above —
+                # the manifest-backed synthetic source re-parses the CSV and
+                # re-synthesizes ~2,900 lyric texts per construction
+                src if src is not None else _source(args), ws,
+                mel_cfg=mel_cfg,
                 vae_cfg=ConvMMVaeConfig(epochs=args.epochs, seed=args.seed,
                                         in_frames=mel_cfg.n_frames,
                                         compute_dtype=("bfloat16" if args.fast

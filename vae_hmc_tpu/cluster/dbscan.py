@@ -15,10 +15,42 @@ import numpy as np
 from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
 
 
+def _refine_threshold_band(x32: np.ndarray, d2: np.ndarray,
+                           eps: float) -> np.ndarray:
+    """Exact-f64 recompute of squared distances within the f32 cancellation
+    band of eps^2; returns d2 with those entries replaced.
+
+    The bulk (N, N) matrix comes from the MXU dot trick |a|^2+|b|^2-2ab in
+    f32, whose absolute error scales with the row norms — for points whose
+    true distance is within that error of eps, the <= eps decision can flip
+    vs sklearn (whose KDTree accumulates (a-b)^2 in float64; observed on a
+    border point at d=0.29999402 vs eps=0.3).  Only the handful of
+    threshold-adjacent pairs are recomputed, as (a-b)^2 in f64 on host, so
+    the adjacency is sklearn-f64-exact while the O(N^2 d) bulk stays on the
+    MXU."""
+    thr = float(eps) * float(eps)
+    norms = (x32.astype(np.float64) ** 2).sum(axis=1)
+    # conservative dot-trick error bound: O(d) ulps of the largest term
+    err = ((x32.shape[1] + 16) * np.finfo(np.float32).eps
+           * (norms[:, None] + norms[None, :] + thr))
+    band = np.abs(d2 - thr) <= err
+    band |= band.T
+    ii, jj = np.nonzero(band)
+    if ii.size:
+        diff = x32[ii].astype(np.float64) - x32[jj].astype(np.float64)
+        d2 = d2.astype(np.float64, copy=True)
+        d2[ii, jj] = np.einsum("ij,ij->i", diff, diff)
+    return d2
+
+
 def neighbor_graph(x: np.ndarray, eps: float) -> np.ndarray:
-    """(N, N) bool adjacency: ||xi - xj|| <= eps (self included, as sklearn)."""
-    d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)))
-    return d2 <= eps * eps
+    """(N, N) bool adjacency: ||xi - xj|| <= eps (self included, as sklearn).
+
+    Bulk distances via the device MXU dot trick; threshold-adjacent pairs
+    refined in f64 (_refine_threshold_band) for sklearn-exact decisions."""
+    x32 = np.asarray(x, np.float32)
+    d2 = np.asarray(pairwise_sq_dists(x32))
+    return _refine_threshold_band(x32, d2, eps) <= eps * eps
 
 
 def labels_from_adjacency(adj: np.ndarray, min_samples: int) -> np.ndarray:
@@ -185,10 +217,11 @@ def dbscan_sweep(x, eps_values, min_samples_values):
         return dbscan_sweep_from_dists_device(d2, eps_values,
                                               min_samples_values,
                                               squared=True)
-    d2 = np.asarray(pairwise_sq_dists(np.asarray(x, np.float32)))
+    x32 = np.asarray(x, np.float32)
+    d2 = np.asarray(pairwise_sq_dists(x32))
     out = {}
     for eps in eps_values:
-        adj = d2 <= eps * eps
+        adj = _refine_threshold_band(x32, d2, eps) <= eps * eps
         for ms in min_samples_values:
             out[(float(eps), int(ms))] = labels_from_adjacency(adj, ms)
     return out

@@ -206,11 +206,14 @@ def _kmeans_impl_dyn(x, key, k, k_max: int, n_init: int, max_iter: int,
 def kmeans(x, cfg: KMeansConfig = KMeansConfig(),
            key: Optional[jax.Array] = None) -> KMeansResult:
     # dynamic-k bit-identity requires the threefry prefix property (see
-    # _kmeanspp_init); the flag is pinned at package import — this assert
-    # catches an entry point that flipped it back
-    assert jax.config.jax_threefry_partitionable, (
-        "jax_threefry_partitionable must be True for dynamic-k kmeans "
-        "bit-identity (pinned in vae_hmc_tpu/__init__.py)")
+    # _kmeanspp_init); the flag is pinned at package import — this guard
+    # catches an entry point that flipped it back.  RuntimeError, not
+    # assert: `python -O` strips asserts, and published clustering results
+    # would silently move.
+    if not jax.config.jax_threefry_partitionable:
+        raise RuntimeError(
+            "jax_threefry_partitionable must be True for dynamic-k kmeans "
+            "bit-identity (pinned in vae_hmc_tpu/__init__.py)")
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     k = cfg.n_clusters

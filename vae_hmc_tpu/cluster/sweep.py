@@ -51,6 +51,7 @@ class RepData:
     _dists_host: Optional[np.ndarray] = None
     _merges: Optional[np.ndarray] = None
     _dists_thread: object = None
+    _kmeans_cache: Optional[Dict] = None
 
     @classmethod
     def build(cls, name: str, x,
@@ -109,6 +110,25 @@ class RepData:
             self._merges = ward_linkage_from_sq_dists(
                 self.dists.astype(np.float64) ** 2)
         return self._merges
+
+    def kmeans_labels(self, k: int, n_init: int = 10,
+                      seed: int = 42) -> np.ndarray:
+        """KMeans labels on x_dev, memoized per (k, n_init, seed).
+
+        Scripts 13, 16 and 15 all cluster the same representation at the
+        same (k=6, n_init=10, seed=42) cell — the reference re-fits sklearn
+        KMeans in each script (13:120, 16:173, 15:49-52).  One fit here is
+        trivially bit-identical everywhere it is reused (same kmeans() call
+        on the same device array), and each dedup saves an n_init-restart
+        device program dispatch (~0.5-1 s under tunnel congestion)."""
+        key = (int(k), int(n_init), int(seed))
+        if self._kmeans_cache is None:
+            self._kmeans_cache = {}
+        if key not in self._kmeans_cache:
+            km = kmeans(self.x_dev, KMeansConfig(
+                n_clusters=k, n_init=n_init, seed=seed))
+            self._kmeans_cache[key] = km.labels
+        return self._kmeans_cache[key]
 
 
 def _safe_sil_d(rep: RepData, yhat: np.ndarray) -> Optional[float]:
@@ -253,9 +273,9 @@ def cluster_suite(rep: RepData, n_clusters: int,
                   kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
     """Reference scripts/13:116-151 run_cluster_suite."""
     rows = []
-    km = kmeans(rep.x_dev, KMeansConfig(n_clusters=n_clusters,
-                                        n_init=kmeans_n_init, seed=seed))
-    rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}", km.labels,
+    rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}",
+                              rep.kmeans_labels(n_clusters, kmeans_n_init,
+                                                seed),
                               with_noise_frac=False))
     from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
     ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, n_clusters)
@@ -281,9 +301,8 @@ def full_sweep(rep: RepData,
     from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
     rows = []
     for k in ks:
-        km = kmeans(rep.x_dev, KMeansConfig(n_clusters=k, n_init=kmeans_n_init,
-                                            seed=seed))
-        rows.append(evaluate_cell(rep, "kmeans", f"k={k}", km.labels,
+        rows.append(evaluate_cell(rep, "kmeans", f"k={k}",
+                                  rep.kmeans_labels(k, kmeans_n_init, seed),
                                   with_noise_frac=True))
         ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, k)
         rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,

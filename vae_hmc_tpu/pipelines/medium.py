@@ -429,10 +429,15 @@ def visualize_clustering(ws: Workspace, repr_path: Path, ids_path: Path,
                          pre_pca_dim: int = 50, tag: str = "run",
                          seed: int = 42,
                          x_arr: Optional[np.ndarray] = None,
-                         ids_arr: Optional[np.ndarray] = None) -> Dict:
+                         ids_arr: Optional[np.ndarray] = None,
+                         yhat_arr: Optional[np.ndarray] = None) -> Dict:
     """x_arr/ids_arr: optional in-memory representation overriding the
     on-disk files (repr_path/ids_path then only label the outputs) — lets
-    the pipeline run viz before the deferred artifact writes land."""
+    the pipeline run viz before the deferred artifact writes land.
+    yhat_arr: optional precomputed cluster labels (the pipeline passes the
+    script-13/16 cell's labels so the figure is consistent with the metric
+    CSVs and the fit is not repeated; method/n_clusters then only label
+    the outputs)."""
     from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
     from vae_hmc_tpu.cluster.agglomerative import agglomerative_ward
     from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
@@ -447,7 +452,9 @@ def visualize_clustering(ws: Workspace, repr_path: Path, ids_path: Path,
         x = x.reshape(x.shape[0], -1)
     if standardize:
         x = np.asarray(StandardScaler().fit_transform(x))
-    if method == "kmeans":
+    if yhat_arr is not None:
+        yhat = np.asarray(yhat_arr)
+    elif method == "kmeans":
         yhat = kmeans_fit_predict(x, n_clusters, n_init=10, seed=seed)
     elif method == "agglomerative":
         yhat = agglomerative_ward(x, n_clusters)
@@ -493,11 +500,21 @@ def side_by_side_and_dbscan_sweep(
         ws: Workspace, k: int = 6, dbscan_min_samples: int = 5,
         eps_list: Sequence[float] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1.0),
         standardize: bool = False, tag: str = "medium",
-        seed: int = 42, arrays: Optional[Dict] = None) -> Dict:
+        seed: int = 42, arrays: Optional[Dict] = None,
+        reps: Optional[List] = None) -> Dict:
     """arrays: optional {vae_mm_latents|baseline_mel_flat|
     baseline_lyrics_only: (x, ids)} overriding the on-disk artifacts (lets
     the pipeline pass device-resident features instead of re-reading the
-    ~1 GB mel .npy; device arrays are flattened on device)."""
+    ~1 GB mel .npy; device arrays are flattened on device).
+
+    reps: optional list of the pipeline's RepData instances (scripts 13/16
+    already fit the exact kmeans cells drawn here, and hold each
+    representation's cached device distance matrix) — labels are then
+    REUSED instead of re-fit, so this figure is guaranteed consistent with
+    the metric CSVs, and the lyrics DBSCAN panel + eps sweep run as ONE
+    vmapped program from the cached distances instead of recomputing the
+    (N, N) matrix twice.  The reference re-fits per script (15:49-76).
+    Ignored when standardize=True (the cached cells are unstandardized)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -535,12 +552,32 @@ def side_by_side_and_dbscan_sweep(
         x_vae, x_mel, x_lyr = (np.asarray(StandardScaler().fit_transform(v))
                                for v in (x_vae, x_mel, x_lyr))
     _mark("load")
-    y_vae = kmeans_fit_predict(x_vae, k, n_init=10, seed=seed)
+    rep_by_name = ({r.name: r for r in reps}
+                   if (reps and not standardize) else {})
+
+    def _km(name, x):
+        r = rep_by_name.get(name)
+        if r is not None and r.n == x.shape[0]:
+            return r.kmeans_labels(k, n_init=10, seed=seed)
+        return kmeans_fit_predict(x, k, n_init=10, seed=seed)
+
+    y_vae = _km("vae_mm_latents", x_vae)
     _mark("kmeans_vae")
-    y_mel = kmeans_fit_predict(x_mel, k, n_init=10, seed=seed)
+    y_mel = _km("baseline_mel_flat", x_mel)
     _mark("kmeans_mel")
-    from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
-    y_lyr_db = dbscan_fn(x_lyr, 0.4, dbscan_min_samples)
+    rep_lyr = rep_by_name.get("baseline_lyrics_only")
+    if rep_lyr is not None and rep_lyr.n == x_lyr.shape[0]:
+        # whole (dbscan panel + eps sweep) grid as ONE vmapped program from
+        # the representation's cached device distance matrix
+        from vae_hmc_tpu.cluster.dbscan import dbscan_sweep_from_dists_device
+        grid_eps = sorted(set(float(e) for e in eps_list) | {0.4})
+        labels_by_cell = dbscan_sweep_from_dists_device(
+            rep_lyr.dists_dev, grid_eps, [dbscan_min_samples])
+        y_lyr_db = labels_by_cell[(0.4, dbscan_min_samples)]
+    else:
+        from vae_hmc_tpu.cluster.dbscan import dbscan as dbscan_fn
+        y_lyr_db = dbscan_fn(x_lyr, 0.4, dbscan_min_samples)
+        labels_by_cell = None
     _mark("dbscan_lyr")
 
     def pca2(v):
@@ -575,7 +612,8 @@ def side_by_side_and_dbscan_sweep(
     plt.close(fig)
     _mark("figure")
 
-    labels_by_cell = db_sweep(x_lyr, eps_list, [dbscan_min_samples])
+    if labels_by_cell is None:
+        labels_by_cell = db_sweep(x_lyr, eps_list, [dbscan_min_samples])
     _mark("dbscan_sweep")
     n_clusters_list, n_noise_list = [], []
     for eps in eps_list:
@@ -648,24 +686,34 @@ def run_medium_pipeline(source: Source, ws: Workspace,
         rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
            "report": rep}
-    if with_viz:
-        # viz14 takes the in-memory latents (round 4) so the deferred
-        # artifact thread — dominated by the 342 MB checkpoint-param fetch —
-        # overlaps EVERY downstream stage and is joined only at the end,
-        # instead of gating viz14 on the latent .npy write
-        with timer.stage("visualize_clustering", n_src):
-            out["viz14"] = visualize_clustering(
-                ws, ws.data / "vae_mm_latents_mu.npy",
-                ws.data / "vae_mm_latents_track_ids.npy", genre_map,
-                method="kmeans", n_clusters=6, proj="pca", tag="vae_kmeans6",
-                x_arr=t["latents"], ids_arr=t["ids"])
-        with timer.stage("side_by_side_and_dbscan_sweep", n_src):
-            out["viz15"] = side_by_side_and_dbscan_sweep(ws, k=6,
-                                                         arrays=arrays)
-    thread = t.pop("artifact_thread", None)
-    if thread is not None:
-        with timer.stage("train_artifact_join", n_src):
-            thread.join_and_raise()
+    # try/finally: a viz exception must not skip the artifact join — the
+    # background thread's own failure (the 342 MB checkpoint fetch is the
+    # tier's most failure-prone I/O) would otherwise be silently discarded,
+    # leaving truncated ckpt/latent files behind a misleading viz traceback.
+    try:
+        if with_viz:
+            # viz14 takes the in-memory latents (round 4) so the deferred
+            # artifact thread — dominated by the 342 MB checkpoint-param
+            # fetch — overlaps EVERY downstream stage and is joined only at
+            # the end, instead of gating viz14 on the latent .npy write
+            with timer.stage("visualize_clustering", n_src):
+                rep_vae = next((r for r in reps
+                                if r.name == "vae_mm_latents"), None)
+                out["viz14"] = visualize_clustering(
+                    ws, ws.data / "vae_mm_latents_mu.npy",
+                    ws.data / "vae_mm_latents_track_ids.npy", genre_map,
+                    method="kmeans", n_clusters=6, proj="pca",
+                    tag="vae_kmeans6", x_arr=t["latents"], ids_arr=t["ids"],
+                    yhat_arr=(rep_vae.kmeans_labels(6, n_init=10, seed=42)
+                              if rep_vae is not None else None))
+            with timer.stage("side_by_side_and_dbscan_sweep", n_src):
+                out["viz15"] = side_by_side_and_dbscan_sweep(
+                    ws, k=6, arrays=arrays, reps=reps)
+    finally:
+        thread = t.pop("artifact_thread", None)
+        if thread is not None:
+            with timer.stage("train_artifact_join", n_src):
+                thread.join_and_raise()
     timer.save(ws.results / "timing_medium.json")
     out["timing"] = timer.report()
     return out

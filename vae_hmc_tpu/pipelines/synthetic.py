@@ -85,15 +85,11 @@ def make_dataset(n_tracks: int = 2924, seed: int = 42,
     rng.shuffle(g)
     track_ids = np.arange(100000, 100000 + n_tracks, dtype=np.int64)
     has_lyrics = rng.random(n_tracks) < lyrics_coverage
-    lyrics: List[Optional[str]] = []
-    for i in range(n_tracks):
-        if not has_lyrics[i]:
-            lyrics.append(None)
-            continue
-        vocab = _LYRIC_VOCAB[_recipe_genre(g[i])].split()
-        r = np.random.default_rng(seed * 1000003 + int(track_ids[i]))
-        words = r.choice(vocab, size=60, replace=True)
-        lyrics.append(" ".join(words))
+    # shared_frac=0: published quality numbers are certified on the
+    # disjoint per-genre vocab (same draw sequence as the old inline loop)
+    lyrics: List[Optional[str]] = [
+        _lyrics_for(g[i], int(track_ids[i]), seed) if has_lyrics[i] else None
+        for i in range(n_tracks)]
     titles = [f"track {int(t)}" for t in track_ids]
     artists = [f"artist {int(t) % 97}" for t in track_ids]
     return SyntheticDataset(track_ids=track_ids, genres=g, titles=titles,
