@@ -135,3 +135,52 @@ def test_spectral_init_sparse_matches_dense(rng):
     qs, _ = np.linalg.qr(y_sparse)
     sv = np.linalg.svd(qd.T @ qs, compute_uv=False)   # cos principal angles
     np.testing.assert_allclose(sv, 1.0, atol=1e-3)
+
+
+def test_umap_from_dists_matches_umap_2d(blobs3):
+    """The from-dists entry with the exact distance matrix of x must equal
+    umap_2d(x) (same chain from the kNN stage on; same key)."""
+    import jax.numpy as jnp
+    from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+    from vae_hmc_tpu.viz.umap import umap_2d, umap_2d_from_dists
+
+    x, _ = blobs3
+    d = jnp.sqrt(pairwise_sq_dists(jnp.asarray(x, jnp.float32)))
+    a = umap_2d(x, n_epochs=60)
+    b = umap_2d_from_dists(d, n_epochs=60)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_umap_batch_matches_per_call(blobs3, rng):
+    """The vmapped batch program runs the SAME chain as per-call from-dists
+    embeddings.  Coordinates are not comparable bit-wise: the spectral
+    init's top-2 eigenpair can be near-degenerate and the batched eigh
+    resolves the in-subspace rotation differently than the single one
+    (measured: identical principal angles, rotated basis) — UMAP's
+    documented contract is structural equivalence, so the gate is
+    trustworthiness + cluster recovery matching the per-call embedding."""
+    import jax.numpy as jnp
+    from sklearn.manifold import trustworthiness
+    from sklearn.metrics import adjusted_rand_score
+
+    from vae_hmc_tpu.cluster.kmeans import kmeans_fit_predict
+    from vae_hmc_tpu.metrics.internal import pairwise_sq_dists
+    from vae_hmc_tpu.viz.umap import (umap_2d_from_dists,
+                                      umap_2d_from_dists_batch)
+
+    x1, y1 = blobs3
+    centers = rng.normal(0, 8, (3, 10))
+    y2 = np.repeat(np.arange(3), 60)
+    x2 = (centers[y2] + rng.normal(0, 0.8, (180, 10))).astype(np.float32)
+    ds = [jnp.sqrt(pairwise_sq_dists(jnp.asarray(v, jnp.float32)))
+          for v in (x1, x2)]
+    batch = umap_2d_from_dists_batch(ds, n_epochs=200)
+    assert batch.shape == (2, 180, 2)
+    assert np.isfinite(batch).all()
+    for i, (x, y) in enumerate(((x1, y1), (x2, y2))):
+        single = umap_2d_from_dists(ds[i], n_epochs=200)
+        t_b = trustworthiness(x, batch[i], n_neighbors=10)
+        t_s = trustworthiness(x, single, n_neighbors=10)
+        assert t_b > 0.9 and t_b > t_s - 0.03
+        yhat = kmeans_fit_predict(batch[i], 3, n_init=5, seed=0)
+        assert adjusted_rand_score(y, yhat) > 0.95

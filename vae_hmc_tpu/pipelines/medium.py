@@ -19,6 +19,7 @@ Reproduces the artifact contract of reference scripts 10-17:
 """
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -589,11 +590,27 @@ def side_by_side_and_dbscan_sweep(
                "Lyrics + DBSCAN(eps=0.4) | PCA (noise likely)")]
     _mark("pca2x3")
     if HAVE_UMAP:
-        panels_u = [(reduce_2d(x_vae, "umap")[0], y_vae,
-                     f"VAE latents + KMeans(k={k}) | UMAP"),
-                    (reduce_2d(x_mel, "umap")[0], y_mel,
-                     f"Mel(flat) + KMeans(k={k}) | UMAP"),
-                    (reduce_2d(x_lyr, "umap")[0], y_lyr_db,
+        rep3 = [rep_by_name.get(nm) for nm in
+                ("vae_mm_latents", "baseline_mel_flat",
+                 "baseline_lyrics_only")]
+        if (all(r is not None for r in rep3)
+                and len({r.n for r in rep3}) == 1
+                and rep3[0].n == x_vae.shape[0]
+                and not os.environ.get("VAE_HMC_USE_UMAP_LEARN")):
+            # all three embeddings as ONE vmapped device program from the
+            # sweep's cached per-representation distance matrices (the
+            # per-call path costs ~2 dispatches each and recomputes the
+            # (N, N) distances the sweep already holds)
+            from vae_hmc_tpu.viz.umap import umap_2d_from_dists_batch
+            u3 = umap_2d_from_dists_batch([r.dists_dev for r in rep3])
+            u_vae, u_mel, u_lyr = u3[0], u3[1], u3[2]
+        else:
+            u_vae = reduce_2d(x_vae, "umap")[0]
+            u_mel = reduce_2d(x_mel, "umap")[0]
+            u_lyr = reduce_2d(x_lyr, "umap")[0]
+        panels_u = [(u_vae, y_vae, f"VAE latents + KMeans(k={k}) | UMAP"),
+                    (u_mel, y_mel, f"Mel(flat) + KMeans(k={k}) | UMAP"),
+                    (u_lyr, y_lyr_db,
                      "Lyrics + DBSCAN(eps=0.4) | UMAP (noise likely)")]
         _mark("umap_x3")
         fig, axes = plt.subplots(3, 2, figsize=(12, 16))

@@ -312,27 +312,116 @@ def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
     return y
 
 
-def umap_2d(x, n_neighbors: int = 15, min_dist: float = 0.1,
-            n_epochs: int = 0, negative_sample_rate: int = 5,
-            learning_rate: float = 1.0, seed: int = 42) -> np.ndarray:
-    """(N, d) -> (N, 2) UMAP embedding, fully on device."""
-    x = jnp.asarray(x, jnp.float32)
-    n = int(x.shape[0])
+def _umap_chain(d, key, a, b, n_neighbors: int, n_epochs: int,
+                neg_rate: int, lr):
+    """Full UMAP chain from a (N, N) euclidean distance matrix, traceable.
+
+    kNN -> smooth-knn (rho, sigma) -> edge-wise fuzzy union -> epoch
+    scheduling -> sparse spectral init -> negative-sampling SGD, all inside
+    ONE compiled program.  Round 4: the per-stage jits cost ~6 dispatches
+    per embedding (~0.5-1 s each under tunnel congestion); fusing the chain
+    makes every UMAP call a single dispatch, and distance-matrix inputs let
+    the medium tier reuse the sweep's cached per-representation distances
+    instead of recomputing them."""
+    n = d.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    dm = jnp.where(eye, jnp.inf, d)
+    neg_d, knn_i = jax.lax.top_k(-dm, n_neighbors)
+    knn_d = -neg_d
+    rho, sigma = _smooth_knn(knn_d)
+    heads, tails, weights = _edge_weights(knn_d, knn_i, rho, sigma)
+    eps_per_sample = _eps_per_sample(weights, n_epochs)
+    y0 = _spectral_init_sparse(heads, tails, weights, n)
+    # small init jitter (umap adds 1e-4-scale noise to spectral init)
+    y0 = y0 + 1e-4 * jax.random.normal(key, y0.shape)
+    return _optimize(y0.astype(jnp.float32), heads, tails, eps_per_sample,
+                     key, a, b, n_epochs=n_epochs, neg_rate=neg_rate, lr=lr)
+
+
+@partial(jax.jit,
+         static_argnames=("n_neighbors", "n_epochs", "neg_rate"))
+def _umap_from_x_impl(x, key, a, b, n_neighbors: int, n_epochs: int,
+                      neg_rate: int, lr):
+    return _umap_chain(jnp.sqrt(pairwise_sq_dists(x)), key, a, b,
+                       n_neighbors, n_epochs, neg_rate, lr)
+
+
+@partial(jax.jit,
+         static_argnames=("n_neighbors", "n_epochs", "neg_rate"))
+def _umap_from_dists_impl(d, key, a, b, n_neighbors: int, n_epochs: int,
+                          neg_rate: int, lr):
+    return _umap_chain(d, key, a, b, n_neighbors, n_epochs, neg_rate, lr)
+
+
+@partial(jax.jit,
+         static_argnames=("n_neighbors", "n_epochs", "neg_rate"))
+def _umap_batch_impl(ds, key, a, b, n_neighbors: int, n_epochs: int,
+                     neg_rate: int, lr):
+    """(B, N, N) distances -> (B, N, 2): every embedding in ONE program.
+    The key is shared across batch elements — identical to B separate
+    umap_2d calls with the same seed."""
+    return jax.vmap(lambda d: _umap_chain(d, key, a, b, n_neighbors,
+                                          n_epochs, neg_rate, lr))(ds)
+
+
+def _umap_params(n: int, n_neighbors: int, n_epochs: int):
     n_neighbors = min(n_neighbors, n - 1)
     if n_epochs <= 0:
         n_epochs = 500 if n <= 10000 else 200    # umap-learn default
-    knn_d, knn_i = _knn(x, n_neighbors)
-    rho, sigma = _smooth_knn(knn_d)
-    heads, tails, weights = _edge_weights(knn_d, knn_i, rho, sigma)
-    eps_per_sample = _eps_per_sample(weights, int(n_epochs))
-    y0 = _spectral_init_sparse(heads, tails, weights, n)
-    key = jax.random.PRNGKey(seed)
-    # small init jitter (umap adds 1e-4-scale noise to spectral init)
-    y0 = y0 + 1e-4 * jax.random.normal(key, y0.shape)
-    y = _optimize(y0.astype(jnp.float32), heads, tails, eps_per_sample,
-                  key, *find_ab_params(1.0, min_dist),
-                  n_epochs=int(n_epochs), neg_rate=int(negative_sample_rate),
-                  lr=float(learning_rate))
+    return n_neighbors, int(n_epochs)
+
+
+def umap_2d(x, n_neighbors: int = 15, min_dist: float = 0.1,
+            n_epochs: int = 0, negative_sample_rate: int = 5,
+            learning_rate: float = 1.0, seed: int = 42) -> np.ndarray:
+    """(N, d) -> (N, 2) UMAP embedding, fully on device, ONE dispatch."""
+    x = jnp.asarray(x, jnp.float32)
+    n_neighbors, n_epochs = _umap_params(int(x.shape[0]), n_neighbors,
+                                         n_epochs)
+    a, b = find_ab_params(1.0, min_dist)
+    y = _umap_from_x_impl(x, jax.random.PRNGKey(seed), a, b,
+                          n_neighbors=n_neighbors, n_epochs=n_epochs,
+                          neg_rate=int(negative_sample_rate),
+                          lr=float(learning_rate))
+    return np.asarray(y, dtype=np.float32)
+
+
+def umap_2d_from_dists(d, n_neighbors: int = 15, min_dist: float = 0.1,
+                       n_epochs: int = 0, negative_sample_rate: int = 5,
+                       learning_rate: float = 1.0,
+                       seed: int = 42) -> np.ndarray:
+    """(N, N) euclidean distances -> (N, 2).  Same chain as umap_2d from
+    the kNN stage on; distances may come from any source (the medium tier
+    passes the sweep's cached centered device distance matrix — identical
+    distances up to f32 rounding, and the O(N^2 d) matmul is free)."""
+    d = jnp.asarray(d, jnp.float32)
+    n_neighbors, n_epochs = _umap_params(int(d.shape[0]), n_neighbors,
+                                         n_epochs)
+    a, b = find_ab_params(1.0, min_dist)
+    y = _umap_from_dists_impl(d, jax.random.PRNGKey(seed), a, b,
+                              n_neighbors=n_neighbors, n_epochs=n_epochs,
+                              neg_rate=int(negative_sample_rate),
+                              lr=float(learning_rate))
+    return np.asarray(y, dtype=np.float32)
+
+
+def umap_2d_from_dists_batch(ds, n_neighbors: int = 15,
+                             min_dist: float = 0.1, n_epochs: int = 0,
+                             negative_sample_rate: int = 5,
+                             learning_rate: float = 1.0,
+                             seed: int = 42) -> np.ndarray:
+    """(B, N, N) distance matrices -> (B, N, 2) in ONE device program +
+    ONE host fetch (the side-by-side figure embeds 3 representations; the
+    per-call path costs ~2 dispatches each)."""
+    ds = (jnp.stack([jnp.asarray(d, jnp.float32) for d in ds])
+          if isinstance(ds, (list, tuple)) else jnp.asarray(ds, jnp.float32))
+    n_neighbors, n_epochs = _umap_params(int(ds.shape[1]), n_neighbors,
+                                         n_epochs)
+    a, b = find_ab_params(1.0, min_dist)
+    y = _umap_batch_impl(ds, jax.random.PRNGKey(seed), a, b,
+                         n_neighbors=n_neighbors, n_epochs=n_epochs,
+                         neg_rate=int(negative_sample_rate),
+                         lr=float(learning_rate))
     return np.asarray(y, dtype=np.float32)
 
 
