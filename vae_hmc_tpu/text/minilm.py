@@ -14,6 +14,7 @@ checkpoint is available the pipelines fall back to TF-IDF / hashed features
 """
 from __future__ import annotations
 
+import functools
 import re
 from pathlib import Path
 from typing import Dict, List, Tuple
@@ -266,6 +267,25 @@ def synthetic_minilm(texts: List[str] = (), seed: int = 7):
     return model, params, tok
 
 
+@functools.lru_cache(maxsize=8)
+def _scan_encode_jit(model):
+    """One jitted scan-encode program PER MODEL, cached at module level.
+
+    A fresh ``jax.jit`` wrapper per call would re-trace (and, when the
+    persistent compile cache misses, re-COMPILE) the whole scanned
+    transformer on every call — observed live in the round-4 TPU
+    re-certification: bench's warmed-then-timed encode paid a full
+    second compile inside the timed region (32.6 s) until the persistent
+    cache caught up.  Flax modules are frozen dataclasses, so they are
+    valid lru_cache keys; jit itself handles per-shape retraces.
+    """
+    def scan_fn(p, i3, m3):
+        return jax.lax.scan(
+            lambda _, im: (None, model.apply(p, im[0], im[1])),
+            None, (i3, m3))[1]
+    return jax.jit(scan_fn)
+
+
 def encode_texts(model, params, tok: WordPieceTokenizer, texts: List[str],
                  batch_size: int = 128, pad_to: int = 0,
                  to_host: bool = True):
@@ -298,12 +318,7 @@ def encode_texts(model, params, tok: WordPieceTokenizer, texts: List[str],
     ids3 = ids_all.reshape(nb, batch_size, pad_to)
     mask3 = mask_all.reshape(nb, batch_size, pad_to)
 
-    def scan_fn(p, i3, m3):
-        return jax.lax.scan(
-            lambda _, im: (None, model.apply(p, im[0], im[1])),
-            None, (i3, m3))[1]
-
-    out = jax.jit(scan_fn)(params, ids3, mask3)
+    out = _scan_encode_jit(model)(params, ids3, mask3)
     out = out.reshape(nb * batch_size, -1)[:n]
     return np.asarray(out, np.float32) if to_host else out
 
