@@ -34,6 +34,19 @@ def test_power_spectrogram_matches_oracle():
         np.testing.assert_allclose(ours[i], ref, rtol=1e-3, atol=1e-2)
 
 
+def test_power_spectrogram_dft_matches_fft():
+    """The MXU-matmul rDFT path (default, code-size diet) vs native FFT.
+
+    Both are gated against the scipy oracle above; this pins their mutual
+    agreement at f32 roundoff so a regression in either lowering is caught
+    without oracle slack."""
+    y = _signals(2, 1.0)
+    dft = np.asarray(stft_ops.power_spectrogram(y, 2048, 512, method="dft"))
+    fft = np.asarray(stft_ops.power_spectrogram(y, 2048, 512, method="fft"))
+    scale = np.maximum(np.abs(fft), 1e-3)
+    np.testing.assert_allclose(dft / scale, fft / scale, atol=2e-3)
+
+
 def test_mel_filterbank_matches_oracle():
     ours = mel_ops.mel_filterbank(SR, 2048, 128)
     ref = oracle.mel_fb(SR, 2048, 128)

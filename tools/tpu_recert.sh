@@ -45,10 +45,10 @@ cp "$OUT/medium_ws/results/timing_medium.json" "$OUT/" 2>/dev/null
 
 log "=== 4. easy + hard tiers timed (2924) ==="
 timeout 2400 python -m vae_hmc_tpu.cli run-easy --synthetic 2924 \
-  --root "$OUT/easy_ws" --no-write-mel 2>&1 | tail -15 | tee -a "$OUT/campaign.log"
+  --root "$OUT/easy_ws" 2>&1 | tail -15 | tee -a "$OUT/campaign.log"
 cp "$OUT/easy_ws/results/timing_easy.json" "$OUT/" 2>/dev/null
 timeout 2400 python -m vae_hmc_tpu.cli run-hard --synthetic 2924 \
-  --root "$OUT/hard_ws" --no-write-mel 2>&1 | tail -15 | tee -a "$OUT/campaign.log"
+  --root "$OUT/hard_ws" 2>&1 | tail -15 | tee -a "$OUT/campaign.log"
 cp "$OUT/hard_ws/results/timing_hard.json" "$OUT/" 2>/dev/null
 
 log "=== 5. checkpoint fetch profile ==="
