@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -279,6 +280,17 @@ def main(argv=None) -> int:
     ws = Workspace(Path(getattr(args, "root", ".")))
     cmd = args.cmd
 
+    # Persistent XLA compile cache for EVERY CLI process, not just
+    # bench/tools: all programs are static-shape, and on the tunneled dev
+    # TPU a plain `run-easy` was re-paying ~35-70 s of fresh compiles per
+    # process (measured round 4: train_basic_vae stage 45 s without the
+    # cache vs 9.4 s with it — the stage is compile-bound, not compute- or
+    # dispatch-bound).  Opt out with VAE_HMC_NO_COMPILE_CACHE=1 (e.g. to
+    # re-measure cold-start or dodge the stale-cache hazard in CLAUDE.md).
+    if not os.environ.get("VAE_HMC_NO_COMPILE_CACHE"):
+        from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+
     if cmd == "download-fma":
         from vae_hmc_tpu.pipelines import acquisition as acq
         print(json.dumps(acq.download_fma(ws)["verify"], default=str))
@@ -500,7 +512,6 @@ def main(argv=None) -> int:
         print(json.dumps(out["cluster"]["metrics"], default=str))
 
     elif cmd == "bench":
-        import os
         os.environ["BENCH_N_TRACKS"] = str(args.n_tracks)
         import bench
         bench.main()
