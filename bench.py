@@ -238,6 +238,19 @@ def main() -> None:
         "mode": mode,
         "pallas_smoke": pallas_smoke,
     }
+    # mechanical quality gate (round-5): compare the headline columns
+    # against the committed QUALITY_GOLDENS.json — "bit-stable" is now a
+    # checked property, not a prose claim.  A deliberate numerics change
+    # must update the goldens in the same commit (tools/update_goldens.py).
+    from vae_hmc_tpu.core import goldens
+    qkey = goldens.golden_key("bench", n_tracks,
+                              "fast" if fast else "parity")
+    qres = goldens.check(qkey, goldens.extract_bench(result))
+    result["quality_drift"] = (qres["status"] if not qres["mismatches"]
+                               else f"drift: {'; '.join(qres['mismatches'])}")
+    if qres["status"] == "drift":
+        print(f"[bench] QUALITY DRIFT ({qkey}): {qres['mismatches']}",
+              file=sys.stderr)
     # committed machine-readable record of every successful run: an
     # end-of-round outage can no longer void the round's perf evidence
     backend_mod.record_bench(result)

@@ -262,3 +262,27 @@ def test_fetch_pytree_single_buffer_bit_exact():
         assert isinstance(g, np.ndarray)
         assert g.dtype == np.asarray(l).dtype
         np.testing.assert_array_equal(g, np.asarray(l))
+
+
+def test_fetch_pytree_chunked_bit_exact():
+    """chunk_mb fetch (head-of-line-fair artifact-thread path) must produce
+    bit-identical results to the one-shot fetch, including when the buffer
+    size is not a chunk multiple and when a dtype group is below the
+    chunk threshold."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_hmc_tpu.core.artifacts import fetch_pytree_single_buffer
+
+    rng_ = np.random.default_rng(12)
+    tree = {
+        # 70k f32 floats = 280 KB -> several chunks at chunk_mb=0.1
+        "big": jnp.asarray(rng_.normal(0, 1, (70_001,)).astype(np.float32)),
+        "small_int": jnp.asarray(np.int32([7, 8, 9])),  # below threshold
+    }
+    one = fetch_pytree_single_buffer(tree)
+    chunked = fetch_pytree_single_buffer(tree, chunk_mb=0.1)
+    for a, b in zip(jax.tree_util.tree_leaves(one),
+                    jax.tree_util.tree_leaves(chunked)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)

@@ -84,3 +84,14 @@ def test_synthetic_minilm_and_fixed_shape_encode():
     # different batching, same fixed shape -> identical embeddings
     again = encode_texts(model, params, tok, texts, batch_size=5, pad_to=16)
     np.testing.assert_allclose(full, again, rtol=1e-5, atol=1e-6)
+
+
+def test_equal_configs_share_scan_cache():
+    """Advisor round 4: MiniLMConfig hashed by identity, so two loads of
+    the same checkpoint compiled separate scan programs.  Frozen-dataclass
+    configs make equal modules hash equal and share _scan_encode_jit."""
+    from vae_hmc_tpu.text.minilm import MiniLM, _scan_encode_jit
+
+    m1, m2 = MiniLM(MiniLMConfig()), MiniLM(MiniLMConfig())
+    assert m1 == m2 and hash(m1) == hash(m2)
+    assert _scan_encode_jit(m1) is _scan_encode_jit(m2)

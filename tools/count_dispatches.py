@@ -7,10 +7,15 @@ wall clock (round-3 finding: easy train_basic_vae at ~92 dispatches ran
 `pxla.ExecuteReplicated.__call__` instrumented and prints dispatches per
 stage — the structural number the round-4 fused programs exist to shrink.
 
+Per-program attribution (round-5 verdict item 8): each stage row is
+followed by which compiled programs dispatched and how often, so the next
+dispatch diet is measured, not guessed.
+
 Run: JAX_PLATFORM_NAME=cpu python tools/count_dispatches.py [easy|medium|hard] [N]
 """
 from __future__ import annotations
 
+import collections
 import sys
 import tempfile
 from pathlib import Path
@@ -21,11 +26,13 @@ import jax
 from jax._src.interpreters import pxla
 
 _COUNT = [0]
+_PROGS: collections.Counter = collections.Counter()
 _orig = pxla.ExecuteReplicated.__call__
 
 
 def _patched(self, *a, **k):
     _COUNT[0] += 1
+    _PROGS[self.name] += 1
     return _orig(self, *a, **k)
 
 
@@ -35,18 +42,27 @@ pxla.ExecuteReplicated.__call__ = _patched
 class StageCounter:
     def __init__(self):
         self.stages = {}
+        self.progs = {}
 
     def mark(self, name):
         self.stages[name] = _COUNT[0]
+        self.progs[name] = dict(_PROGS)
 
     def report(self):
         names = list(self.stages)
         print(f"\n{'stage':<38}{'dispatches':>10}")
-        prev = 0
+        prev, prev_progs = 0, {}
         for n in names:
             d = self.stages[n] - prev
             prev = self.stages[n]
             print(f"{n:<38}{d:>10}")
+            cur = self.progs[n]
+            delta = collections.Counter(cur)
+            delta.subtract(prev_progs)
+            prev_progs = cur
+            for prog, cnt in sorted(((p, c) for p, c in delta.items()
+                                     if c > 0), key=lambda t: -t[1]):
+                print(f"    {prog[:60]:<60}{cnt:>6}")
         print(f"{'TOTAL':<38}{prev:>10}")
 
 

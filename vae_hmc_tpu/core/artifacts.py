@@ -156,7 +156,7 @@ def load_features(x_path: Path, ids_path: Path) -> Tuple[np.ndarray, np.ndarray]
 # ---------------------------------------------------------------------------
 
 
-def fetch_pytree_single_buffer(tree):
+def fetch_pytree_single_buffer(tree, chunk_mb: Optional[float] = None):
     """Device pytree -> host pytree via ONE contiguous device->host fetch
     per dtype (leaves are raveled and concatenated by a jitted program,
     fetched once, then split/reshaped on host — bit-exact).
@@ -164,8 +164,18 @@ def fetch_pytree_single_buffer(tree):
     On links where per-array transfer overhead dominates (the tunneled dev
     chip reads back small-array streams at ~1 MB/s), fetching the conv-MM
     checkpoint's ~20 leaves (342 MB, two 170 MB FC kernels) as one buffer
-    is substantially cheaper than np.asarray per leaf.  Host leaves pass
-    through unchanged.
+    is substantially cheaper than np.asarray per leaf (measured round 5:
+    17.5 s vs 90.9 s).  Host leaves pass through unchanged.
+
+    chunk_mb: when set, the contiguous buffer is fetched as sequential
+    ~chunk_mb-sized slices instead of one transfer.  The tunnel is
+    single-stream-saturated (~30-36 MB/s aggregate; concurrency measured
+    and refuted round 5), so chunking doesn't raise bandwidth — its point
+    is HEAD-OF-LINE FAIRNESS: a background 342 MB fetch otherwise makes
+    every concurrent small readback (kmeans labels, silhouette scalars)
+    wait for the whole transfer; with chunks, other streams interleave at
+    chunk boundaries.  Used by the medium tier's deferred artifact thread,
+    which overlaps the cluster/sweep stages.
     """
     import jax
     import jax.numpy as jnp
@@ -180,7 +190,8 @@ def fetch_pytree_single_buffer(tree):
             out[i] = np.asarray(leaf)
     concat = jax.jit(lambda ls: jnp.concatenate([jnp.ravel(x) for x in ls]))
     for dt, idxs in device_idx.items():
-        host = np.asarray(concat([leaves[i] for i in idxs]))
+        buf = concat([leaves[i] for i in idxs])
+        host = _fetch_1d(buf, chunk_mb)
         off = 0
         for i in idxs:
             shape = tuple(np.shape(leaves[i]))
@@ -188,6 +199,40 @@ def fetch_pytree_single_buffer(tree):
             out[i] = host[off:off + n].reshape(shape)
             off += n
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _fetch_1d(buf, chunk_mb: Optional[float]) -> np.ndarray:
+    """Fetch a 1-D device array to host, optionally as sequential chunks.
+
+    Chunk slicing uses ONE jitted dynamic-slice program (row index passed
+    as a device scalar) over a padded (n_chunks, chunk) view — per-offset
+    Python slicing would bake each start into a separate executable
+    (round-3 CODE-SIZE HAZARD)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(buf.shape[0])
+    if chunk_mb is None or n * buf.dtype.itemsize <= chunk_mb * 1e6:
+        return np.asarray(buf)
+    chunk = max(1, int(chunk_mb * 1e6) // buf.dtype.itemsize)
+    n_chunks = -(-n // chunk)
+
+    @jax.jit
+    def _pad_reshape(b):
+        return jnp.concatenate(
+            [b, jnp.zeros((n_chunks * chunk - n,), b.dtype)]
+        ).reshape(n_chunks, chunk)
+
+    @jax.jit
+    def _row(b2, i):
+        return jax.lax.dynamic_slice_in_dim(b2, i, 1, axis=0)[0]
+
+    b2 = _pad_reshape(buf)
+    host = np.empty((n_chunks * chunk,), dtype=buf.dtype)
+    for i in range(n_chunks):
+        host[i * chunk:(i + 1) * chunk] = np.asarray(
+            _row(b2, jnp.int32(i)))
+    return host[:n]
 
 
 def save_checkpoint(path: Path, params, metadata: Optional[Dict] = None,

@@ -66,7 +66,7 @@ def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
 
 def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
                    cond: Optional[np.ndarray] = None,
-                   verbose: bool = False):
+                   verbose: bool = False, mesh=None):
     """Hard-tier Beta-VAE / CVAE (reference scripts/19): x is the early-fused
     (N, D) feature matrix (optionally with one-hots already appended,
     19:174-177); `cond` is the CVAE conditioning one-hot (19:180-189)."""
@@ -97,11 +97,12 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
         def encode_mu(p, xb):
             return model.apply(p, xb, method=model.encode)[0]
 
-    res = fit(apply_fn, params, arrays,
-              epochs=cfg.epochs, batch_size=cfg.batch_size,
-              learning_rate=cfg.learning_rate, beta=cfg.beta,
-              reduction=cfg.loss_reduction, seed=cfg.seed,
-              kl_anneal_epochs=cfg.kl_anneal_epochs, verbose=verbose)
+    res = _fit_dispatch(apply_fn, params, arrays, mesh,
+                        epochs=cfg.epochs, batch_size=cfg.batch_size,
+                        learning_rate=cfg.learning_rate, beta=cfg.beta,
+                        reduction=cfg.loss_reduction, seed=cfg.seed,
+                        kl_anneal_epochs=cfg.kl_anneal_epochs,
+                        verbose=verbose)
     mu = encode_in_batches(encode_mu, res.params, arrays)
     return model, res, mu
 

@@ -112,6 +112,10 @@ def power_spectrogram(
     keeps the native FFT for cross-checks; both agree to f32 roundoff
     (tests/test_dsp_parity.py gates both against the scipy oracle).
     """
+    if method not in ("dft", "fft"):
+        # method is a static jit argname: a typo would otherwise silently
+        # take the FFT branch AND compile a separate program per misspelling
+        raise ValueError(f"method must be 'dft' or 'fft', got {method!r}")
     frames = frame_signal(y, n_fft, hop_length, center, pad_mode)
     frames = frames * hann_window(n_fft, frames.dtype)
     if method == "dft":

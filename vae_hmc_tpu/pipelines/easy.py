@@ -336,5 +336,7 @@ def run_easy_pipeline(source: Source, ws: Workspace,
     with timer.stage("compare_pca_baseline", n):
         m = compare_pca_baseline(ws, km_cfg)
     timer.save(ws.results / "timing_easy.json")
+    from vae_hmc_tpu.core import goldens
+    q = goldens.check_tier("easy", ws.results, n)
     return {"train": t, "cluster": c, "viz": v, "compare": m,
-            "timing": timer.report()}
+            "timing": timer.report(), "quality_drift": q}

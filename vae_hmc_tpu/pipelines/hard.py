@@ -389,5 +389,7 @@ def run_hard_pipeline(source: Source, ws: Workspace,
         b = compare_with_baselines(ws, ae_cfg=ae_cfg, seed=vae_cfg.seed,
                                    tag=tag, verbose=verbose)
     timer.save(ws.results / "timing_hard.json")
+    from vae_hmc_tpu.core import goldens
+    q = goldens.check_tier("hard", ws.results, n)
     return {"prep": prep, "train": t, "cluster": c, "viz": v, "baselines": b,
-            "timing": timer.report()}
+            "timing": timer.report(), "quality_drift": q}

@@ -114,14 +114,24 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                   verbose: bool = False,
                   audio: Optional[Dict] = None,
                   lyrics: Optional[Dict] = None, mesh=None,
-                  defer_artifacts: bool = False) -> Dict:
+                  defer_artifacts: bool = False,
+                  artifact_gate=None) -> Dict:
     """audio/lyrics: optionally pass build_audio_features /
     build_lyrics_embeddings results to skip re-reading from disk.
 
     defer_artifacts=True writes the checkpoint/CSV/latent files on a
     background thread (returned as out['artifact_thread']; the pipeline
-    joins it before returning) so the ~8 MB checkpoint-param device fetch
-    overlaps the downstream cluster stages instead of blocking them."""
+    joins it before returning) so the 342 MB checkpoint-param device fetch
+    overlaps the downstream cluster stages instead of blocking them.
+
+    artifact_gate: optional threading.Event the background thread waits on
+    before touching the device.  The tunnel is single-stream-saturated
+    (~30-36 MB/s aggregate regardless of concurrency — measured round 5,
+    tools/profile_fetch.py), so an ungated checkpoint fetch steals exactly
+    the bandwidth the RepData distance prefetches need at cluster-stage
+    start; the pipeline sets the gate once the dists have landed, ordering
+    the tunnel traffic: dists (needed first, by ward) -> checkpoint
+    (needed last, at the end-of-tier join)."""
     if audio is not None:
         x, a_ids = audio["x"], audio["ids"]
     else:
@@ -161,7 +171,11 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
             # crosses device->host as one buffer per dtype — per-leaf
             # fetches pay the slow small-stream readback path on tunneled
             # links (core.artifacts.fetch_pytree_single_buffer).
-            params_host = artifacts.fetch_pytree_single_buffer(res.params)
+            # chunk_mb=16: this fetch overlaps the cluster/sweep stages —
+            # chunking keeps their small readbacks from queueing behind one
+            # 342 MB transfer (head-of-line fairness; see _fetch_1d)
+            params_host = artifacts.fetch_pytree_single_buffer(
+                res.params, chunk_mb=16)
             artifacts.save_checkpoint(
                 out_dir / f"ckpt_epoch_{cfg.epochs:03d}.pt", params_host,
                 metadata={"config": asdict(cfg), "epoch": cfg.epochs,
@@ -186,6 +200,8 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
 
             def run(self):
                 try:
+                    if artifact_gate is not None:
+                        artifact_gate.wait()
                     _save_artifacts()
                 except BaseException as e:
                     self.exc = e
@@ -681,20 +697,29 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     with timer.stage("build_lyrics_embeddings", n_src):
         l = build_lyrics_embeddings(source, ws, text_cfg)
     # artifact writes (incl. the checkpoint-param device fetch) overlap the
-    # cluster stages below; joined before anything reads the files
+    # cluster stages below; joined before anything reads the files.  The
+    # gate holds the 342 MB fetch until the distance prefetches land — see
+    # train_conv_mm's artifact_gate docstring (round-5 contention fix).
+    import threading
+    gate = threading.Event()
     with timer.stage("train_conv_mm", n_src):
         t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
                           save_epoch_checkpoints=save_epoch_checkpoints,
-                          defer_artifacts=True)
+                          defer_artifacts=True, artifact_gate=gate)
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
               "baseline_lyrics_only": (l["emb"], l["ids"])}
     # ONE RepData per representation, shared by scripts 13 and 16: the device
     # distance matrix, its single host fetch, and the ward linkage are each
     # computed exactly once per representation for the whole pipeline.
-    with timer.stage("build_representations", n_src):
-        reps = _load_reps(ws, genre_map, standardize=False,
-                          names=sweep_cfg.representations, arrays=arrays)
+    try:
+        with timer.stage("build_representations", n_src):
+            reps = _load_reps(ws, genre_map, standardize=False,
+                              names=sweep_cfg.representations, arrays=arrays)
+            for r in reps:
+                r.dists  # join the host-dists prefetch (ward's input)
+    finally:
+        gate.set()       # never leave the artifact thread gated
     with timer.stage("cluster_and_evaluate", n_src):
         c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
     with timer.stage("full_clustering_sweep", n_src):
@@ -733,4 +758,6 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                 thread.join_and_raise()
     timer.save(ws.results / "timing_medium.json")
     out["timing"] = timer.report()
+    from vae_hmc_tpu.core import goldens
+    out["quality_drift"] = goldens.check_tier("medium", ws.results, n_src)
     return out

@@ -14,6 +14,7 @@ checkpoint is available the pipelines fall back to TF-IDF / hashed features
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import re
 from pathlib import Path
@@ -25,16 +26,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@dataclasses.dataclass(frozen=True)
 class MiniLMConfig:
-    vocab_size = 30522
-    hidden = 384
-    layers = 6
-    heads = 12
-    intermediate = 1536
-    max_pos = 512
-    type_vocab = 2
-    ln_eps = 1e-12
-    max_seq_len = 256      # sentence-transformers truncates at 256 for this model
+    """all-MiniLM-L6-v2 hyperparameters (reference script 11 embeds with
+    this exact sentence-transformers model).  Frozen dataclass so equal
+    configs hash equal: _scan_encode_jit's lru_cache keys on the Flax
+    module, and identity-hashing configs made two loads of the same
+    checkpoint compile separately (advisor round 4)."""
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    intermediate: int = 1536
+    max_pos: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    max_seq_len: int = 256  # sentence-transformers truncates at 256 here
 
 
 class _Layer(nn.Module):
