@@ -5,6 +5,7 @@ process-count-independent (row ranges, mesh layout, single-process staging
 degradation) so the multi-host path is a config change, not new code.
 """
 import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,11 @@ def test_two_process_distributed_mesh_and_staging(tmp_path):
     script = tmp_path / "mh_proc.py"
     script.write_text(_MH_PROC_SCRIPT)
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the subprocesses must import vae_hmc_tpu regardless of whether the
+    # dev host's site-packages .pth survived an environment rebuild
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [subprocess.Popen(
         [_sys.executable, str(script), str(pid), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
