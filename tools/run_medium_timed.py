@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/medium_ws")
     ap.add_argument("--write-mel", action="store_true")
     ap.add_argument("--no-viz", action="store_true")
+    ap.add_argument("--no-epoch-ckpt", action="store_true",
+                    help="skip the 342 MB checkpoint fetch/write: measures "
+                    "the cluster/viz stages' uncontended floor (the fetch "
+                    "otherwise overlaps them on the shared tunnel)")
     args = ap.parse_args()
 
     from vae_hmc_tpu.core.config import Workspace
@@ -71,7 +75,9 @@ def main():
     try:
         medium.run_medium_pipeline(src, ws, with_viz=not args.no_viz,
                                    device_batch=64,
-                                   write_mel_features=args.write_mel)
+                                   write_mel_features=args.write_mel,
+                                   save_epoch_checkpoints=not
+                                   args.no_epoch_ckpt)
     finally:
         for name, fn in orig.items():
             setattr(medium, name, fn)

@@ -272,22 +272,36 @@ def cluster_suite(rep: RepData, n_clusters: int,
                   dbscan_min_samples: int = 5,
                   kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
     """Reference scripts/13:116-151 run_cluster_suite."""
+    import time as _time
+    from vae_hmc_tpu.core.profiling import log as _vlog
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        _vlog(f"suite13/{rep.name}/{name}: {now - _t[0]:.1f}s")
+        _t[0] = now
+
     rows = []
     rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}",
                               rep.kmeans_labels(n_clusters, kmeans_n_init,
                                                 seed),
                               with_noise_frac=False))
+    _mark("kmeans")
     from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
     ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, n_clusters)
     rows.append(evaluate_cell(rep, "agglomerative", f"k={n_clusters},ward",
                               ag, with_noise_frac=False))
+    _mark("ward")
     grid = _dbscan_grid_from_dists(rep, dbscan_eps, [dbscan_min_samples])
     for eps in dbscan_eps:
         yhat = grid[(float(eps), int(dbscan_min_samples))]
         rows.append(evaluate_cell(
             rep, "dbscan", f"eps={eps},min={dbscan_min_samples}", yhat,
             with_noise_frac=False))
-    return finalize_rows(rows)
+    _mark("dbscan")
+    out = finalize_rows(rows)
+    _mark("finalize")
+    return out
 
 
 def full_sweep(rep: RepData,
@@ -298,6 +312,15 @@ def full_sweep(rep: RepData,
                kmeans_n_init: int = 10, seed: int = 42) -> List[Dict]:
     """Reference scripts/16:159-244: per representation,
     (k x {kmeans, agglomerative}) + (eps x min_samples) DBSCAN grid."""
+    import time as _time
+    from vae_hmc_tpu.core.profiling import log as _vlog
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        _vlog(f"sweep16/{rep.name}/{name}: {now - _t[0]:.1f}s")
+        _t[0] = now
+
     from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
     rows = []
     for k in ks:
@@ -307,10 +330,14 @@ def full_sweep(rep: RepData,
         ag = cut_tree_n_clusters(rep.ward_merges(), rep.n, k)
         rows.append(evaluate_cell(rep, "agglomerative", f"k={k},ward", ag,
                                   with_noise_frac=True))
+    _mark("kmeans+ward")
     grid = _dbscan_grid_from_dists(rep, eps_values, min_samples_values)
     for eps in eps_values:
         for ms in min_samples_values:
             yhat = grid[(float(eps), int(ms))]
             rows.append(evaluate_cell(rep, "dbscan", f"eps={eps},min={ms}",
                                       yhat, with_noise_frac=True))
-    return finalize_rows(rows)
+    _mark("dbscan")
+    out = finalize_rows(rows)
+    _mark("finalize")
+    return out

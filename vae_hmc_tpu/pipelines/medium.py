@@ -609,10 +609,15 @@ def side_by_side_and_dbscan_sweep(
         rep3 = [rep_by_name.get(nm) for nm in
                 ("vae_mm_latents", "baseline_mel_flat",
                  "baseline_lyrics_only")]
-        if (all(r is not None for r in rep3)
-                and len({r.n for r in rep3}) == 1
-                and rep3[0].n == x_vae.shape[0]
-                and not os.environ.get("VAE_HMC_USE_UMAP_LEARN")):
+        _batched = (all(r is not None for r in rep3)
+                    and len({r.n for r in rep3}) == 1
+                    and rep3[0].n == x_vae.shape[0]
+                    and not os.environ.get("VAE_HMC_USE_UMAP_LEARN"))
+        log(f"viz15/umap path: {'batched' if _batched else 'per-rep'} "
+            f"(reps={[getattr(r, 'name', None) for r in rep3]}, "
+            f"ns={[getattr(r, 'n', None) for r in rep3]}, "
+            f"x_vae={tuple(x_vae.shape)})")
+        if _batched:
             # all three embeddings as ONE vmapped device program from the
             # sweep's cached per-representation distance matrices (the
             # per-call path costs ~2 dispatches each and recomputes the

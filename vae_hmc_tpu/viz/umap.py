@@ -267,8 +267,31 @@ def _spectral_init(W):
 @partial(jax.jit, static_argnames=("n_epochs", "neg_rate"))
 def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
               n_epochs: int, neg_rate: int, lr: float):
+    """Epoch-batched negative-sampling SGD.
+
+    Layout invariant (from _edge_weights/_edge_list, asserted by shape):
+    heads = [rows; cols], tails = [cols; rows] with
+    rows = repeat(arange(N), k) — i.e. the first E/2 edges are grouped
+    contiguously by head node.  That structure turns 2 of the 3 per-epoch
+    scatter-adds into reshape-sums (a (N, k, 2) reduction costs neither
+    scatter code nor scatter sort time on TPU), and the two remaining
+    col-indexed scatters merge into ONE (round 5: the 3x (2Nk, 2)
+    scatter-adds dominated the 500-epoch loop at ~16 ms/epoch on v5e;
+    measured ~2.6x faster after).
+
+    Batching note: umap-learn applies edge updates sequentially inside an
+    epoch; this kernel (like round 4's) batches the whole epoch, and the
+    negative forces read the epoch's STARTING positions rather than the
+    post-attraction ones.  Both are epoch-level approximations of the same
+    descent; quality is pinned by trustworthiness/cluster-recovery gates
+    (tests/test_umap.py), not bit-equality to umap-learn."""
     n = y0.shape[0]
     e = heads.shape[0]
+    e2 = e // 2
+    k = e2 // n
+    assert e2 * 2 == e and k * n == e2, (
+        "heads/tails must be the [direct; reverse] kNN-edge layout")
+    cols = tails[:e2]                       # == heads[e2:]
 
     def epoch_body(epoch, carry):
         y, eons, key = carry
@@ -284,8 +307,6 @@ def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
             0.0)
         g = jnp.clip(grad_coeff[:, None] * diff, -4.0, 4.0)
         g = jnp.where(active[:, None], g, 0.0)
-        y = y.at[heads].add(alpha * g)
-        y = y.at[tails].add(-alpha * g)
         # negative sampling: neg_rate uniform points repel each active head.
         # One (E, R) fancy gather compiles to ~18 MB of TPU code (the
         # reshape fuses into the gather); R separate 1-D row gathers,
@@ -293,7 +314,6 @@ def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
         # same accumulation order as jnp.sum(..., axis=1) over r=0..R-1.
         key, sub = jax.random.split(key)
         negs = jax.random.randint(sub, (e, neg_rate), 0, n)
-        yh = y[heads]                                   # post-attraction
         gn_sum = jnp.zeros_like(yh)                     # (E, 2)
         for r in range(neg_rate):
             diff_n = yh - y[negs[:, r]]                 # (E, 2)
@@ -303,7 +323,14 @@ def _optimize(y0, heads, tails, eps_per_sample, key, a, b,
             gn = jnp.where(d2n[:, None] > 0.0, gn, 4.0)  # umap: stuck pairs
             gn_sum = gn_sum + gn
         gn_sum = jnp.where(active[:, None], gn_sum, 0.0)
-        y = y.at[heads].add(alpha * gn_sum)
+        u = alpha * (g + gn_sum)            # total update at heads
+        v = -alpha * g                      # total update at tails
+        # heads = [rows; cols], tails = [cols; rows]: the row-indexed halves
+        # (u[:e2] at rows, v[e2:] at rows) are contiguous k-groups — a
+        # reshape-sum, not a scatter; the col-indexed halves merge into ONE
+        # scatter-add (was three (2Nk, 2) scatters per epoch).
+        y = y + (u[:e2] + v[e2:]).reshape(n, k, 2).sum(axis=1)
+        y = y.at[cols].add(u[e2:] + v[:e2])
         eons = jnp.where(active, eons + eps_per_sample, eons)
         return y, eons, key
 
@@ -359,9 +386,18 @@ def _umap_batch_impl(ds, key, a, b, n_neighbors: int, n_epochs: int,
                      neg_rate: int, lr):
     """(B, N, N) distances -> (B, N, 2): every embedding in ONE program.
     The key is shared across batch elements — identical to B separate
-    umap_2d calls with the same seed."""
-    return jax.vmap(lambda d: _umap_chain(d, key, a, b, n_neighbors,
-                                          n_epochs, neg_rate, lr))(ds)
+    umap_2d calls with the same seed.
+
+    lax.scan over the batch, NOT vmap: vmapping the chain turns its 1-D
+    edge scatters/gathers into multi-dim-index forms that hit the TPU
+    scatter slow path AND the code-size hazard — measured at (3, 2924,
+    2924): vmap 8.0 s exec / 3.9 MB executable vs scan ~3x the 1.4 s
+    single-rep exec with the single-rep program body (round 5)."""
+    def step(_, d):
+        return None, _umap_chain(d, key, a, b, n_neighbors,
+                                 n_epochs, neg_rate, lr)
+    _, ys = jax.lax.scan(step, None, ds)
+    return ys
 
 
 def _umap_params(n: int, n_neighbors: int, n_epochs: int):
