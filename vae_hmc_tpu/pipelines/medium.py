@@ -125,13 +125,16 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
     overlaps the downstream cluster stages instead of blocking them.
 
     artifact_gate: optional threading.Event the background thread waits on
-    before touching the device.  The tunnel is single-stream-saturated
+    before its device fetch.  The tunnel is single-stream-saturated
     (~30-36 MB/s aggregate regardless of concurrency — measured round 5,
     tools/profile_fetch.py), so an ungated checkpoint fetch steals exactly
-    the bandwidth the RepData distance prefetches need at cluster-stage
-    start; the pipeline sets the gate once the dists have landed, ordering
-    the tunnel traffic: dists (needed first, by ward) -> checkpoint
-    (needed last, at the end-of-tier join)."""
+    the bandwidth the RepData distance prefetches AND the dispatch-heavy
+    cluster/sweep stages' small readbacks need; the pipeline sets the gate
+    after full_clustering_sweep, ordering the tunnel traffic: dists ->
+    cluster/sweep round trips -> checkpoint (needed last, at the
+    end-of-tier join), which leaves the fetch overlapping the compute-bound
+    viz stages (measured: cluster_and_evaluate 17.8 s contended vs 10.4 s
+    uncontended, round-5 floor runs)."""
     if audio is not None:
         x, a_ids = audio["x"], audio["ids"]
     else:
@@ -609,26 +612,40 @@ def side_by_side_and_dbscan_sweep(
         rep3 = [rep_by_name.get(nm) for nm in
                 ("vae_mm_latents", "baseline_mel_flat",
                  "baseline_lyrics_only")]
-        _batched = (all(r is not None for r in rep3)
-                    and len({r.n for r in rep3}) == 1
-                    and rep3[0].n == x_vae.shape[0]
-                    and not os.environ.get("VAE_HMC_USE_UMAP_LEARN"))
-        log(f"viz15/umap path: {'batched' if _batched else 'per-rep'} "
-            f"(reps={[getattr(r, 'name', None) for r in rep3]}, "
-            f"ns={[getattr(r, 'n', None) for r in rep3]}, "
-            f"x_vae={tuple(x_vae.shape)})")
-        if _batched:
-            # all three embeddings as ONE vmapped device program from the
-            # sweep's cached per-representation distance matrices (the
-            # per-call path costs ~2 dispatches each and recomputes the
-            # (N, N) distances the sweep already holds)
-            from vae_hmc_tpu.viz.umap import umap_2d_from_dists_batch
-            u3 = umap_2d_from_dists_batch([r.dists_dev for r in rep3])
-            u_vae, u_mel, u_lyr = u3[0], u3[1], u3[2]
-        else:
-            u_vae = reduce_2d(x_vae, "umap")[0]
-            u_mel = reduce_2d(x_mel, "umap")[0]
-            u_lyr = reduce_2d(x_lyr, "umap")[0]
+        # Embed from the sweep's cached per-representation device distance
+        # matrices wherever a matching RepData exists (the from-x fallback
+        # recomputes the (N, N) distances AND compiles one program per
+        # (N, d) input shape).  Same-N reps stack into ONE scanned
+        # program/dispatch; the lyrics rep legitimately has FEWER rows than
+        # the audio reps whenever text coverage < 1 (production manifests:
+        # round-5 floor run measured ns=[2924, 2924, 2652]), so the old
+        # all-three-equal-N batch condition never triggered at scale and
+        # every tier run silently paid the 3x from-x path.
+        from vae_hmc_tpu.viz.umap import (umap_2d_from_dists,
+                                          umap_2d_from_dists_batch)
+        use_ul = bool(os.environ.get("VAE_HMC_USE_UMAP_LEARN"))
+        xs = [x_vae, x_mel, x_lyr]
+        embeds: list = [None, None, None]
+        groups: Dict[int, list] = {}
+        for i, (r, xv) in enumerate(zip(rep3, xs)):
+            if r is not None and not use_ul and r.n == xv.shape[0]:
+                groups.setdefault(r.n, []).append(i)
+        log(f"viz15/umap path: groups={list(groups.values())} "
+            f"(ns={[getattr(r, 'n', None) for r in rep3]}, "
+            f"from-x fallbacks="
+            f"{[i for i in range(3) if not any(i in g for g in groups.values())]})")
+        for idxs in groups.values():
+            if len(idxs) > 1:
+                u = umap_2d_from_dists_batch(
+                    [rep3[i].dists_dev for i in idxs])
+                for j, i in enumerate(idxs):
+                    embeds[i] = u[j]
+            else:
+                embeds[idxs[0]] = umap_2d_from_dists(rep3[idxs[0]].dists_dev)
+        for i, xv in enumerate(xs):
+            if embeds[i] is None:
+                embeds[i] = reduce_2d(xv, "umap")[0]
+        u_vae, u_mel, u_lyr = embeds
         panels_u = [(u_vae, y_vae, f"VAE latents + KMeans(k={k}) | UMAP"),
                     (u_mel, y_mel, f"Mel(flat) + KMeans(k={k}) | UMAP"),
                     (u_lyr, y_lyr_db,
@@ -702,9 +719,12 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     with timer.stage("build_lyrics_embeddings", n_src):
         l = build_lyrics_embeddings(source, ws, text_cfg)
     # artifact writes (incl. the checkpoint-param device fetch) overlap the
-    # cluster stages below; joined before anything reads the files.  The
-    # gate holds the 342 MB fetch until the distance prefetches land — see
-    # train_conv_mm's artifact_gate docstring (round-5 contention fix).
+    # viz stages below; joined before anything reads the files.  The gate
+    # holds the 342 MB fetch past the dispatch-heavy cluster/sweep stages:
+    # round-5 floor measurement (--no-epoch-ckpt) put cluster_and_evaluate
+    # at 10.4 s uncontended vs 17.8 s sharing the ~33 MB/s tunnel with the
+    # fetch — whereas viz15 is one compute-bound UMAP dispatch plus host
+    # matplotlib, so overlapping the fetch there is nearly free.
     import threading
     gate = threading.Event()
     with timer.stage("train_conv_mm", n_src):
@@ -723,12 +743,12 @@ def run_medium_pipeline(source: Source, ws: Workspace,
                               names=sweep_cfg.representations, arrays=arrays)
             for r in reps:
                 r.dists  # join the host-dists prefetch (ward's input)
+        with timer.stage("cluster_and_evaluate", n_src):
+            c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
+        with timer.stage("full_clustering_sweep", n_src):
+            c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, reps=reps)
     finally:
         gate.set()       # never leave the artifact thread gated
-    with timer.stage("cluster_and_evaluate", n_src):
-        c13 = cluster_and_evaluate(ws, genre_map, n_clusters=6, reps=reps)
-    with timer.stage("full_clustering_sweep", n_src):
-        c16 = full_clustering_sweep(ws, genre_map, sweep_cfg, reps=reps)
     with timer.stage("report_tables_and_plots", n_src):
         rep = report_tables_and_plots(ws)
     out = {"audio": a, "lyrics": l, "train": t, "suite": c13, "sweep": c16,
