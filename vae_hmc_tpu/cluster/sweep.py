@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from vae_hmc_tpu.cluster.kmeans import kmeans
+from vae_hmc_tpu.cluster.kmeans import kmeans_dispatch
 from vae_hmc_tpu.core.config import KMeansConfig
 from vae_hmc_tpu.metrics import internal
 from vae_hmc_tpu.metrics.safe import safe_ari
@@ -52,6 +52,9 @@ class RepData:
     _merges: Optional[np.ndarray] = None
     _dists_thread: object = None
     _kmeans_cache: Optional[Dict] = None
+    _kmeans_pending: Optional[Dict] = None   # key -> device result tuple
+    _ward_thread: object = None
+    _merges_bg: Optional[np.ndarray] = None
 
     @classmethod
     def build(cls, name: str, x,
@@ -102,14 +105,61 @@ class RepData:
             self._dists_host = np.asarray(self.dists_dev)
         return self._dists_host
 
+    def ward_prefetch(self) -> None:
+        """Compute the ward linkage on a background thread.
+
+        The C++ NN-chain releases the GIL, so the linkage (host CPU work)
+        genuinely overlaps the device kmeans/DBSCAN cells the sweep is
+        dispatching meanwhile.  The worker first joins the dists-prefetch
+        thread (its input); ward_merges() joins this thread."""
+        if (self._merges is not None or self._ward_thread is not None
+                or self.dists_dev is None):
+            return
+        import threading
+
+        def work():
+            from vae_hmc_tpu.cluster.agglomerative import (
+                ward_linkage_from_sq_dists)
+            self._merges_bg = ward_linkage_from_sq_dists(
+                self.dists.astype(np.float64) ** 2)
+
+        self._ward_thread = threading.Thread(target=work, daemon=True)
+        self._ward_thread.start()
+
     def ward_merges(self) -> np.ndarray:
         """Ward linkage (scipy format), computed once per representation."""
+        if self._ward_thread is not None:
+            self._ward_thread.join()
+            self._ward_thread = None
+            self._merges = self._merges_bg
         if self._merges is None:
             from vae_hmc_tpu.cluster.agglomerative import (
                 ward_linkage_from_sq_dists)
             self._merges = ward_linkage_from_sq_dists(
                 self.dists.astype(np.float64) ** 2)
         return self._merges
+
+    def kmeans_prefetch(self, ks: Sequence[int], n_init: int = 10,
+                        seed: int = 42) -> None:
+        """Dispatch the kmeans restart program for every k NOW, no fetch.
+
+        Scripts 13+16 evaluate 15 kmeans cells (3 reps x ks); fetching each
+        inside its evaluate_cell serializes a device round-trip per cell.
+        Pre-dispatching queues all programs back-to-back on the device
+        stream, so by the time a cell's labels are fetched the result is
+        already sitting in HBM.  Bit-identical: kmeans_labels consumes the
+        exact tuple kmeans() would have produced (same program, same key)."""
+        if self._kmeans_cache is None:
+            self._kmeans_cache = {}
+        if self._kmeans_pending is None:
+            self._kmeans_pending = {}
+        for k in ks:
+            key = (int(k), int(n_init), int(seed))
+            if key in self._kmeans_cache or key in self._kmeans_pending:
+                continue
+            self._kmeans_pending[key] = kmeans_dispatch(
+                self.x_dev, KMeansConfig(n_clusters=int(k), n_init=n_init,
+                                         seed=seed))
 
     def kmeans_labels(self, k: int, n_init: int = 10,
                       seed: int = 42) -> np.ndarray:
@@ -124,10 +174,13 @@ class RepData:
         key = (int(k), int(n_init), int(seed))
         if self._kmeans_cache is None:
             self._kmeans_cache = {}
+        if self._kmeans_pending and key in self._kmeans_pending:
+            labels = self._kmeans_pending.pop(key)[0]
+            self._kmeans_cache[key] = np.asarray(labels, dtype=np.int32)
         if key not in self._kmeans_cache:
-            km = kmeans(self.x_dev, KMeansConfig(
-                n_clusters=k, n_init=n_init, seed=seed))
-            self._kmeans_cache[key] = km.labels
+            labels = kmeans_dispatch(self.x_dev, KMeansConfig(
+                n_clusters=k, n_init=n_init, seed=seed))[0]
+            self._kmeans_cache[key] = np.asarray(labels, dtype=np.int32)
         return self._kmeans_cache[key]
 
 
@@ -281,6 +334,8 @@ def cluster_suite(rep: RepData, n_clusters: int,
         _vlog(f"suite13/{rep.name}/{name}: {now - _t[0]:.1f}s")
         _t[0] = now
 
+    rep.kmeans_prefetch([n_clusters], kmeans_n_init, seed)
+    rep.ward_prefetch()
     rows = []
     rows.append(evaluate_cell(rep, "kmeans", f"k={n_clusters}",
                               rep.kmeans_labels(n_clusters, kmeans_n_init,
@@ -322,6 +377,8 @@ def full_sweep(rep: RepData,
         _t[0] = now
 
     from vae_hmc_tpu.cluster.agglomerative import cut_tree_n_clusters
+    rep.kmeans_prefetch(ks, kmeans_n_init, seed)
+    rep.ward_prefetch()
     rows = []
     for k in ks:
         rows.append(evaluate_cell(rep, "kmeans", f"k={k}",

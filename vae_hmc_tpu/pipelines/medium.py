@@ -308,6 +308,12 @@ def cluster_and_evaluate(ws: Workspace, genre_map: Optional[Dict] = None,
     if reps is None:
         reps = _load_reps(ws, genre_map, standardize, arrays=arrays,
                           pca_dim=pca_dim)
+    # queue every rep's kmeans program + ward linkage before the per-rep
+    # evaluation loop: the device works through the whole queue while the
+    # host computes metrics for rep 0 (see RepData.kmeans_prefetch)
+    for rep in reps:
+        rep.kmeans_prefetch([n_clusters])
+        rep.ward_prefetch()
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.cluster_suite(rep, n_clusters)
@@ -330,6 +336,9 @@ def full_clustering_sweep(ws: Workspace, genre_map: Optional[Dict] = None,
     if reps is None:
         reps = _load_reps(ws, genre_map, standardize, cfg.representations,
                           arrays=arrays)
+    for rep in reps:                      # cross-rep device-queue fill
+        rep.kmeans_prefetch(cfg.ks, seed=cfg.seed)
+        rep.ward_prefetch()
     rows: List[Dict] = []
     for rep in reps:
         rows += sweep_mod.full_sweep(rep, cfg.ks, cfg.dbscan_eps,
