@@ -140,9 +140,10 @@ def test_dp_tp_conv_mm_full_resolution():
 def test_gather_buffer_boundary_scales_with_data_axis():
     """The 2^31-byte single-buffer gather boundary (round-2 measured TPU
     crash at N=8,000 mel rows) applies PER data-axis shard: the exact
-    configuration that crashes single-chip passes once sharded 2+ ways.
-    Checked against the real guard the trainer calls, with shape stand-ins
-    (allocating 2.6 GiB in CI would be the bug, not the test)."""
+    configuration that trips the single-chip chunker passes un-chunked once
+    sharded 2+ ways.  Checked against the real detector the trainer's
+    chunker consults, with shape stand-ins (allocating 2.6 GiB in CI would
+    be the bug, not the test)."""
     from types import SimpleNamespace
 
     from vae_hmc_tpu.models.train import oversize_gather_buffers
@@ -150,7 +151,7 @@ def test_gather_buffer_boundary_scales_with_data_axis():
 
     mel8000 = SimpleNamespace(shape=(8000, 128 * 646),
                               nbytes=8000 * 128 * 646 * 4)    # 2.64 GiB
-    assert oversize_gather_buffers([mel8000], None)           # single-chip: refuse
+    assert oversize_gather_buffers([mel8000], None)           # single-chip: chunk
     mesh2 = make_mesh(2, shape=(2, 1))
     assert not oversize_gather_buffers([mel8000], mesh2)      # 1.32 GiB/shard: ok
     mesh8 = make_mesh(8, shape=(8, 1))
@@ -159,6 +160,100 @@ def test_gather_buffer_boundary_scales_with_data_axis():
     mel6000 = SimpleNamespace(shape=(6000, 128 * 646),
                               nbytes=6000 * 128 * 646 * 4)
     assert not oversize_gather_buffers([mel6000], None)
+
+
+def test_oversize_gather_chunking_bit_identical(monkeypatch):
+    """Round 5: past the single-buffer gather boundary fit() no longer
+    refuses single-chip — the resident gather source is split into row
+    chunks (each strictly under the boundary) and per-step batches are
+    gathered chunk-wise + stitched with exact selects.  Forcing a tiny
+    boundary on CPU must leave every loss, every trained parameter, and
+    every exported latent BIT-IDENTICAL to the unchunked program."""
+    from vae_hmc_tpu.models.dense_vae import DenseVAE
+    from vae_hmc_tpu.models.train import encode_in_batches, fit
+
+    n, d = 200, 24
+    x = np.random.default_rng(3).normal(size=(n, d)).astype(np.float32)
+    model = DenseVAE(input_dim=d, hidden_dims=(16,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, d)), key)
+
+    def apply_fn(p, rng_, xb):
+        return model.apply(p, xb, rng_)
+
+    def enc(p, xb):
+        mu, _ = model.apply(p, xb, method=model.encode)
+        return mu
+
+    monkeypatch.delenv("VAE_HMC_GATHER_CHUNK_BYTES", raising=False)
+    r0 = fit(apply_fn, params, (x,), epochs=3, batch_size=32,
+             learning_rate=1e-3, seed=0)
+    z0 = np.asarray(encode_in_batches(enc, r0.params, (x,), batch_size=16))
+
+    # ~37 rows/chunk for fit, ~19 for encode: 6 and 11 chunks resp.,
+    # chunk cut points NOT aligned to the batch grid
+    monkeypatch.setenv("VAE_HMC_GATHER_CHUNK_BYTES", str(d * 4 * 37))
+    r1 = fit(apply_fn, params, (x,), epochs=3, batch_size=32,
+             learning_rate=1e-3, seed=0)
+    monkeypatch.setenv("VAE_HMC_GATHER_CHUNK_BYTES", str(d * 4 * 19))
+    z1 = np.asarray(encode_in_batches(enc, r1.params, (x,), batch_size=16))
+
+    assert [h["total"] for h in r0.history] == [h["total"] for h in r1.history]
+    for a, b in zip(jax.tree_util.tree_leaves(r0.params),
+                    jax.tree_util.tree_leaves(r1.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(z0, z1)
+
+
+def test_oversize_gather_chunking_on_mesh(monkeypatch):
+    """Chunking composes with the mesh: chunk row counts stay divisible by
+    the 'data' axis (every chunk shards P('data')) and dp_fit results are
+    bit-identical to the unchunked mesh program."""
+    from vae_hmc_tpu.models.dense_vae import DenseVAE
+    from vae_hmc_tpu.models.train import _chunk_rows, _flatten_for_gather
+    from vae_hmc_tpu.parallel.train_dp import dp_fit
+
+    n, d = 256, 16
+    x = np.random.default_rng(5).normal(size=(n, d)).astype(np.float32)
+    model = DenseVAE(input_dim=d, hidden_dims=(8,), latent_dim=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, d)), key)
+    mesh = make_mesh(4, shape=(4, 1))
+
+    def apply_fn(p, rng_, xb):
+        return model.apply(p, xb, rng_)
+
+    monkeypatch.delenv("VAE_HMC_GATHER_CHUNK_BYTES", raising=False)
+    r0 = dp_fit(apply_fn, params, (x,), mesh,
+                epochs=2, batch_size=64, learning_rate=1e-3, seed=0)
+    monkeypatch.setenv("VAE_HMC_GATHER_CHUNK_BYTES", str(d * 4 * 10))
+    flats, _ = _flatten_for_gather((jnp.asarray(x),))
+    chunked, offsets = _chunk_rows(flats, mesh)
+    assert len(chunked[0]) > 1
+    assert all(c.shape[0] % 4 == 0 for c in chunked[0])
+    assert sum(c.shape[0] for c in chunked[0]) == n
+    assert offsets[0][0] == 0 and list(offsets[0]) == sorted(offsets[0])
+    r1 = dp_fit(apply_fn, params, (x,), mesh,
+                epochs=2, batch_size=64, learning_rate=1e-3, seed=0)
+    assert [h["total"] for h in r0.history] == [h["total"] for h in r1.history]
+    for a, b in zip(jax.tree_util.tree_leaves(r0.params),
+                    jax.tree_util.tree_leaves(r1.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_oversize_gather_chunking_unsatisfiable_raises(monkeypatch):
+    """When even the smallest data-axis-aligned row group crosses the
+    boundary, the chunker raises the actionable shard-over-more-devices
+    error instead of emitting a program that would crash the worker."""
+    from vae_hmc_tpu.models.train import _chunk_rows
+
+    d = 16
+    x = jnp.zeros((32, d), jnp.float32)
+    mesh = make_mesh(4, shape=(4, 1))
+    # bound*n_shards below a single 4-row aligned group's bytes
+    monkeypatch.setenv("VAE_HMC_GATHER_CHUNK_BYTES", str(d))
+    with pytest.raises(ValueError, match="shard over more 'data'-axis"):
+        _chunk_rows((x,), mesh)
 
 
 def test_dp_fit_trains_past_single_chip_row_envelope():

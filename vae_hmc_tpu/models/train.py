@@ -64,6 +64,101 @@ def _flatten_for_gather(arrays):
 GATHER_BUFFER_BOUNDARY = 2 ** 31    # bytes; v5e single-buffer gather limit
 
 
+def _chunk_boundary() -> Optional[int]:
+    """Per-device-buffer byte boundary for row-gather chunking, or None when
+    chunking is off (non-TPU platforms gather fine past 2^31).
+
+    VAE_HMC_GATHER_CHUNK_BYTES overrides (tests set it tiny on CPU to
+    exercise the chunked programs); VAE_HMC_ALLOW_BIG_BUFFER=1 disables
+    chunking entirely (runtimes with 64-bit buffer addressing)."""
+    import os as _os
+    if _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
+        return None
+    env = _os.environ.get("VAE_HMC_GATHER_CHUNK_BYTES")
+    if env:
+        return int(env)
+    if jax.devices()[0].platform == "tpu":
+        return GATHER_BUFFER_BOUNDARY
+    return None
+
+
+def _chunk_rows(flats, mesh):
+    """Split oversize resident arrays into row-contiguous chunks that each
+    stay under the single-buffer gather boundary PER DEVICE SHARD.
+
+    Per-step row gathers from one device buffer past 2^31 bytes CRASH the
+    TPU worker (round-2 measured: 8,000x(128,646) f32 = 2.64 GiB faults;
+    1.98 GiB is fine).  Until round 5 fit() simply refused such datasets
+    single-chip; splitting the GATHER SOURCE into even row chunks (total
+    HBM unchanged) lifts the envelope — each step then runs one small
+    row gather per chunk plus (n_chunks-1) selects, exact ops, so results
+    are bit-identical to the single-buffer program.
+
+    Returns (chunked, offsets): chunked[i] is a tuple of >=1 arrays
+    (un-chunked arrays pass through as 1-tuples of the ORIGINAL buffer —
+    no copy, and the single-chunk gather path emits the exact pre-round-5
+    HLO, preserving persistent-compile-cache hits); offsets[i] is the
+    matching static tuple of starting row indices.  Chunk row counts stay
+    divisible by the mesh 'data' axis so every chunk shards P('data')."""
+    bound = _chunk_boundary()
+    chunked, offsets = [], []
+    for fa in flats:
+        if mesh is not None:
+            n_shards = int(mesh.shape.get("data", 1))
+        else:
+            # a caller-sharded P('data') array (encode after dp_fit) is
+            # already under the boundary per shard — count its shards
+            spec = getattr(getattr(fa, "sharding", None), "spec", None)
+            m = getattr(getattr(fa, "sharding", None), "mesh", None)
+            n_shards = (int(m.shape.get("data", 1))
+                        if m is not None and spec is not None and len(spec)
+                        and spec[0] == "data" else 1)
+        if bound is None or fa.nbytes / n_shards < bound:
+            chunked.append((fa,))
+            offsets.append((0,))
+            continue
+        n = int(fa.shape[0])
+        row_bytes = max(fa.nbytes // max(n, 1), 1)
+        # fewest even chunks with per-shard chunk bytes STRICTLY under the
+        # boundary (the crash threshold is >=); the loop re-checks after
+        # rounding the chunk row count up to the data axis
+        n_chunks = int(fa.nbytes) // (bound * n_shards) + 1
+        while True:
+            per = -(-n // n_chunks)
+            per += (-per) % n_shards            # align up to the data axis
+            if per * row_bytes < bound * n_shards:
+                break
+            if per <= n_shards:                  # smallest aligned chunk
+                raise ValueError(
+                    f"array {tuple(fa.shape)} cannot be row-chunked under "
+                    f"the {bound}-byte per-device gather boundary (a "
+                    "single per-shard row group already crosses it); "
+                    "shard over more 'data'-axis devices")
+            n_chunks += 1
+        cuts = list(range(0, n, per))
+        chunked.append(tuple(fa[lo:lo + per] for lo in cuts))
+        offsets.append(tuple(cuts))
+    return tuple(chunked), tuple(offsets)
+
+
+def _gather_rows(chunks, offs, idx):
+    """Row-gather `idx` out of a (possibly chunked) resident array.
+
+    Single chunk: the exact pre-chunking gather (`chunks[0][idx]`) — same
+    HLO, same compiled program.  Multi-chunk: one clamped 1-D row gather
+    per chunk (plain 1-D row gathers are the ~0.2 MB-program fast layout,
+    VALIDATION round-3 table) stitched with exact `where` selects, so the
+    result is bit-identical to gathering from one giant buffer."""
+    if len(chunks) == 1:
+        return chunks[0][idx]
+    out = chunks[0][jnp.minimum(idx, chunks[0].shape[0] - 1)]
+    for c, off in zip(chunks[1:], offs[1:]):
+        local = jnp.clip(idx - off, 0, c.shape[0] - 1)
+        sel = (idx >= off).reshape((-1,) + (1,) * (out.ndim - 1))
+        out = jnp.where(sel, c[local], out)
+    return out
+
+
 def oversize_gather_buffers(flats, mesh) -> List[str]:
     """Arrays whose PER-DEVICE resident shard would cross the 2^31-byte
     single-buffer gather boundary (round-2 measured TPU-worker crash).
@@ -77,18 +172,6 @@ def oversize_gather_buffers(flats, mesh) -> List[str]:
             + (f" ({n_shards}-way sharded)" if n_shards > 1 else "")
             for fa in flats
             if fa.nbytes / n_shards >= GATHER_BUFFER_BOUNDARY]
-
-
-def check_gather_buffer_boundary(flats, mesh) -> None:
-    import os as _os
-    big = oversize_gather_buffers(flats, mesh)
-    if big and not _os.environ.get("VAE_HMC_ALLOW_BIG_BUFFER"):
-        raise ValueError(
-            f"dataset array(s) {big} exceed the single-TPU-buffer "
-            "2^31-byte gather boundary PER DEVICE and would crash the "
-            "TPU worker; shard over more 'data'-axis devices, or set "
-            "VAE_HMC_ALLOW_BIG_BUFFER=1 if your runtime supports "
-            "64-bit buffer addressing")
 
 
 def fit(
@@ -160,11 +243,13 @@ def fit(
     # Single-buffer addressing boundary (measured on v5e): per-step row
     # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
     # (8,000x(128,646) f32 = 2.64 GB faults; 6,000 = 1.98 GB is fine).
-    # Refuse with a clear error instead of poisoning the chip; the scale-out
-    # path is a mesh (dp_fit shards rows over 'data', keeping each
-    # per-device shard under the boundary).
-    if jax.devices()[0].platform == "tpu":
-        check_gather_buffer_boundary(flats, mesh)
+    # Round 5: instead of refusing single-chip, oversize datasets are
+    # auto-split into even row chunks (each strictly under the boundary
+    # per device shard) and gathered chunk-wise — bit-identical results,
+    # sub-0.1 ms/step extra.  A mesh additionally shards rows over 'data'
+    # (per-shard footprint |data|/n_data), so chunking only engages when
+    # even the per-shard view crosses the boundary.
+    flats, chunk_offsets = _chunk_rows(flats, mesh)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -172,8 +257,10 @@ def fit(
         # dataset rows sharded over 'data': per-device HBM footprint is
         # |data|/n_data; the per-step row gather crosses shards via one
         # small XLA-inserted collective (batch-sized, rides ICI)
-        flats = tuple(jax.device_put(fa, NamedSharding(mesh, P("data")))
-                      for fa in flats)
+        flats = tuple(
+            tuple(jax.device_put(c, NamedSharding(mesh, P("data")))
+                  for c in chunks)
+            for chunks in flats)
         if param_shardings is None:
             param_shardings = jax.tree_util.tree_map(
                 lambda _: NamedSharding(mesh, P()), params)
@@ -189,9 +276,9 @@ def fit(
 
     def gather_batch(arrs, idx):
         batch = tuple(
-            fa[idx].reshape((idx.shape[0],) + tail) if len(tail) > 1
-            else fa[idx]
-            for fa, tail in zip(arrs, tails))
+            _gather_rows(chunks, offs, idx).reshape((idx.shape[0],) + tail)
+            if len(tail) > 1 else _gather_rows(chunks, offs, idx)
+            for chunks, offs, tail in zip(arrs, chunk_offsets, tails))
         return shard_batch(batch)
 
     tx = optax.adam(learning_rate)
@@ -452,6 +539,9 @@ def encode_in_batches(
     n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
     arrays = tuple(jnp.asarray(a) for a in arrays)
     flats, tails = _flatten_for_gather(arrays)
+    # same oversize-buffer chunking as fit() (the export gathers rows out
+    # of the same resident buffers the trainer does)
+    flats, chunk_offsets = _chunk_rows(flats, None)
     nb = -(-n // batch_size)
 
     @jax.jit
@@ -459,9 +549,10 @@ def encode_in_batches(
         def body(carry, i):
             idx = jnp.minimum(i * batch_size + jnp.arange(batch_size), n - 1)
             batch = tuple(
-                fa[idx].reshape((batch_size,) + tail) if len(tail) > 1
-                else fa[idx]
-                for fa, tail in zip(arrs, tails))
+                _gather_rows(chunks, offs, idx).reshape(
+                    (batch_size,) + tail)
+                if len(tail) > 1 else _gather_rows(chunks, offs, idx)
+                for chunks, offs, tail in zip(arrs, chunk_offsets, tails))
             return carry, encode_fn(p, *batch)
         _, zs = jax.lax.scan(body, None, jnp.arange(nb))
         return zs.reshape((nb * batch_size,) + zs.shape[2:])[:n]
