@@ -165,6 +165,26 @@ def main() -> None:
     from vae_hmc_tpu.pipelines.sources import SyntheticSource
 
     t0 = time.perf_counter()
+    # AOT train setup OVERLAPPED with stages 1-2 (round 5): the fused train
+    # program's setup — jitted init dispatch, ~2 s Python trace, multi-MB
+    # executable cache-load through the tunnel — needs only SHAPES, and the
+    # tunnel sits idle while the device owns the scanned feature program.
+    # prepare_conv_mm_vae builds the SAME program fit() would (bit-identity
+    # pinned by tests/test_prepared_fit.py); stage 3 consumes it.  Inside
+    # the timed region: this is pipelining, not pre-warming.
+    import threading
+    prep_box = {}
+
+    def _prepare():
+        try:
+            prep_box["prep"] = model_api.prepare_conv_mm_vae(
+                n_tracks, (mel_cfg.n_mels, mel_cfg.n_frames, 1), 384,
+                vae_cfg)
+        except Exception as e:                      # fall back to plain fit
+            prep_box["err"] = e
+
+    prep_thread = threading.Thread(target=_prepare, daemon=True)
+    prep_thread.start()
     src = SyntheticSource(ds, seed=42, device=True)
     x_mel, _ids, _report = feat_pipe.build_logmel(
         src, mel_cfg, device_batch=128, hbm_resident=True)
@@ -201,7 +221,12 @@ def main() -> None:
     t2 = time.perf_counter()
 
     # stage 3: conv multimodal VAE training (script 12); x_mel stays on device
-    model, res, mu = model_api.train_conv_mm_vae(x_mel, lyr, has, vae_cfg)
+    prep_thread.join()
+    if "err" in prep_box:
+        print(f"[bench] prepare_conv_mm_vae failed ({prep_box['err']}); "
+              "falling back to in-line setup", file=sys.stderr)
+    model, res, mu = model_api.train_conv_mm_vae(
+        x_mel, lyr, has, vae_cfg, prepared=prep_box.get("prep"))
     float(jnp.sum(mu[0, :2]))         # scalar-fetch sync (see t1 note)
     t3 = time.perf_counter()
 

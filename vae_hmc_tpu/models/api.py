@@ -11,7 +11,8 @@ conv model additionally tensor-shards its giant FC kernels over 'model'.
 """
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +23,42 @@ from vae_hmc_tpu.core.config import (AeConfig, ConvMMVaeConfig,
 from vae_hmc_tpu.models.ae import AE
 from vae_hmc_tpu.models.conv_mm_vae import ConvMMVAE
 from vae_hmc_tpu.models.dense_vae import DenseVAE
-from vae_hmc_tpu.models.train import encode_in_batches, fit
+from vae_hmc_tpu.models.train import encode_in_batches, fit, prepare_fit
+
+
+@dataclass(frozen=True)
+class PreparedTrain:
+    """Model-level AOT-prepared trainer handle (see train.prepare_fit).
+
+    Built from SHAPES + the config alone — before the feature arrays
+    exist — so a pipeline can overlap all of training setup (jitted model
+    init, the fused-program Python trace, XLA compile or persistent-cache
+    executable load) with upstream stages, then hand the arrays to
+    train_*(..., prepared=...) the moment they land.  SINGLE USE: the
+    underlying executable donates its param buffers on execution.
+
+    cfg/shapes are recorded so the consuming train_* call can verify it is
+    executing the program it thinks it is (the fused executable bakes in
+    the model architecture, which train.fit's own fingerprint cannot see).
+    """
+    cfg: Any
+    shapes: Tuple[Tuple[int, ...], ...]
+    fit_prepared: Any                     # train.PreparedFit
+
+
+def _check_prepared(prepared: PreparedTrain, cfg, shapes, mesh):
+    if mesh is not None:
+        raise ValueError("prepared training covers the single-device fused "
+                         "path only (mesh given)")
+    if prepared.cfg != cfg:
+        raise ValueError(
+            "PreparedTrain config mismatch — the AOT executable was built "
+            f"for a different model/hyperparameter set:\n  prepared: "
+            f"{prepared.cfg}\n  this call: {cfg}")
+    if tuple(prepared.shapes) != tuple(shapes):
+        raise ValueError(
+            f"PreparedTrain shape mismatch: prepared {prepared.shapes} vs "
+            f"arrays {tuple(shapes)}")
 
 
 def _fit_dispatch(apply_fn, params, arrays, mesh, param_shardings=None,
@@ -31,31 +67,62 @@ def _fit_dispatch(apply_fn, params, arrays, mesh, param_shardings=None,
     if mesh is None:
         return fit(apply_fn, params, arrays, **kw)
     from vae_hmc_tpu.parallel.train_dp import dp_fit
-    return dp_fit(apply_fn, params, arrays, mesh,
+    kw.pop("prepared", None)    # single-device-only concept; callers raise
+    return dp_fit(apply_fn, params, arrays, mesh,   # on a non-None prepared
                   param_shardings=param_shardings, **kw)
 
 
-def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
-                    verbose: bool = False, mesh=None):
-    """Easy-tier basic VAE (reference scripts/06): x is the standardized
-    (N, 80) MFCC-stats matrix."""
-    model = DenseVAE(input_dim=x.shape[1], hidden_dims=tuple(cfg.hidden_dims),
+def _dense_model_and_apply(cfg: DenseVaeConfig, d: int):
+    model = DenseVAE(input_dim=d, hidden_dims=tuple(cfg.hidden_dims),
                      latent_dim=cfg.latent_dim)
-    key = jax.random.PRNGKey(cfg.seed)
-    # dummy inputs built INSIDE the jit: each eager jnp.zeros is its own
-    # device dispatch (~0.5-1 s under tunnel congestion)
-    d = x.shape[1]
-    params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
 
     def apply_fn(p, rng, xb):
         return model.apply(p, xb, rng)
+
+    return model, apply_fn
+
+
+def prepare_dense_vae(n: int, d: int, cfg: DenseVaeConfig) -> PreparedTrain:
+    """AOT-build train_dense_vae's setup from shapes alone (see
+    prepare_conv_mm_vae): the easy tier overlaps it with the fused
+    synth->MFCC feature scan (pipelines.easy.train_basic_vae).  d is the
+    standardized feature width (2*n_mfcc).  Single use."""
+    model, apply_fn = _dense_model_and_apply(cfg, d)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
+    fp = prepare_fit(apply_fn, params,
+                     (jax.ShapeDtypeStruct((n, d), jnp.float32),),
+                     epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate, beta=cfg.beta,
+                     reduction=cfg.loss_reduction, seed=cfg.seed)
+    return PreparedTrain(cfg=cfg, shapes=((n, d),), fit_prepared=fp)
+
+
+def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
+                    verbose: bool = False, mesh=None,
+                    prepared: Optional[PreparedTrain] = None):
+    """Easy-tier basic VAE (reference scripts/06): x is the standardized
+    (N, 80) MFCC-stats matrix.  `prepared` (from prepare_dense_vae) runs
+    the same program AOT-compiled earlier — bit-identical results."""
+    d = x.shape[1]
+    model, apply_fn = _dense_model_and_apply(cfg, d)
+    if prepared is not None:
+        _check_prepared(prepared, cfg, (tuple(x.shape),), mesh)
+        params = prepared.fit_prepared.params
+    else:
+        key = jax.random.PRNGKey(cfg.seed)
+        # dummy inputs built INSIDE the jit: each eager jnp.zeros is its own
+        # device dispatch (~0.5-1 s under tunnel congestion)
+        params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
 
     res = _fit_dispatch(apply_fn, params, (jnp.asarray(x, jnp.float32),),
                         mesh,
                         epochs=cfg.epochs, batch_size=cfg.batch_size,
                         learning_rate=cfg.learning_rate, beta=cfg.beta,
                         reduction=cfg.loss_reduction, seed=cfg.seed,
-                        verbose=verbose)
+                        verbose=verbose,
+                        prepared=(None if prepared is None
+                                  else prepared.fit_prepared))
 
     def encode_mu(p, xb):
         return model.apply(p, xb, method=model.encode)[0]
@@ -107,33 +174,79 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
     return model, res, mu
 
 
+def _conv_mm_model_and_apply(cfg: ConvMMVaeConfig, n_mels: int,
+                             n_frames: int, lyrics_dim: int):
+    model = ConvMMVAE(n_mels=n_mels, n_frames=n_frames,
+                      channels=tuple(cfg.audio_channels),
+                      fc_dim=cfg.audio_fc_dim,
+                      latent_dim=cfg.latent_dim, lyrics_dim=lyrics_dim)
+
+    def apply_fn(p, rng, xb, lb, mb):
+        return model.apply(p, xb, lb, mb, rng)
+
+    return model, apply_fn
+
+
+def _conv_mm_init(model, cfg, xs, ls):
+    key = jax.random.PRNGKey(cfg.seed)
+    return jax.jit(lambda k: model.init(
+        k, jnp.zeros((1,) + tuple(xs)), jnp.zeros((1, ls)),
+        jnp.zeros((1, 1)), k))(key)
+
+
+def prepare_conv_mm_vae(n: int, mel_shape: Tuple[int, ...], lyrics_dim: int,
+                        cfg: ConvMMVaeConfig) -> PreparedTrain:
+    """AOT-build train_conv_mm_vae's whole setup from shapes alone.
+
+    Runs the jitted model/optimizer init dispatch, the ~2 s Python trace of
+    the fused scan-over-epochs program, and the XLA compile (or persistent-
+    cache executable load, multi-MB through the tunnel) NOW, so pipelines
+    kick it off on a thread while feature extraction owns the device
+    (bench.py stage 1-2, pipelines.medium train stage).  mel_shape is the
+    per-track (n_mels, T, 1) image shape.  Consume via
+    train_conv_mm_vae(..., prepared=...); single use.
+    """
+    xs = tuple(int(d) for d in mel_shape)
+    model, apply_fn = _conv_mm_model_and_apply(cfg, xs[0], xs[1], lyrics_dim)
+    params = _conv_mm_init(model, cfg, xs, lyrics_dim)
+    shapes = ((n,) + xs, (n, lyrics_dim), (n, 1))
+    specs = tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes)
+    fp = prepare_fit(apply_fn, params, specs,
+                     epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate, beta=cfg.beta,
+                     reduction=cfg.loss_reduction, seed=cfg.seed,
+                     compute_dtype=cfg.compute_dtype)
+    return PreparedTrain(cfg=cfg, shapes=shapes, fit_prepared=fp)
+
+
 def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
                       cfg: ConvMMVaeConfig, verbose: bool = False,
-                      mesh=None):
+                      mesh=None, prepared: Optional[PreparedTrain] = None):
     """Medium-tier conv multimodal VAE (reference scripts/12).
 
     x_nhwc: (N, n_mels, T, 1) standardized log-mel; lyr: (N, 384) aligned
     lyrics embeddings (zeros when missing); mask: (N, 1) presence gate.
+    `prepared` (from prepare_conv_mm_vae) runs the SAME training program,
+    AOT-compiled earlier — bit-identical results, less wall clock here.
     """
     import os as _os
     import time as _time
     _dbg = _os.environ.get("VAE_HMC_DEBUG_TIMING")
     _t = _time.perf_counter()
 
-    model = ConvMMVAE(n_mels=x_nhwc.shape[1], n_frames=x_nhwc.shape[2],
-                      channels=tuple(cfg.audio_channels), fc_dim=cfg.audio_fc_dim,
-                      latent_dim=cfg.latent_dim, lyrics_dim=lyr.shape[1])
-    key = jax.random.PRNGKey(cfg.seed)
     xs, ls = x_nhwc.shape[1:], lyr.shape[1]
-    params = jax.jit(lambda k: model.init(
-        k, jnp.zeros((1,) + tuple(xs)), jnp.zeros((1, ls)),
-        jnp.zeros((1, 1)), k))(key)
-
-    def apply_fn(p, rng, xb, lb, mb):
-        return model.apply(p, xb, lb, mb, rng)
+    model, apply_fn = _conv_mm_model_and_apply(
+        cfg, x_nhwc.shape[1], x_nhwc.shape[2], ls)
 
     arrays = (jnp.asarray(x_nhwc, jnp.float32), jnp.asarray(lyr, jnp.float32),
               jnp.asarray(mask, jnp.float32).reshape(-1, 1))
+    if prepared is not None:
+        _check_prepared(prepared, cfg, tuple(a.shape for a in arrays), mesh)
+        # prepared carries its own init'd param/opt buffers; fit() uses
+        # those, so skip this process's init dispatch entirely
+        params = prepared.fit_prepared.params
+    else:
+        params = _conv_mm_init(model, cfg, xs, ls)
     shardings = None
     if mesh is not None:
         from vae_hmc_tpu.parallel.mesh import conv_mm_param_sharding
@@ -146,7 +259,9 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
                         epochs=cfg.epochs, batch_size=cfg.batch_size,
                         learning_rate=cfg.learning_rate, beta=cfg.beta,
                         reduction=cfg.loss_reduction, seed=cfg.seed,
-                        verbose=verbose, compute_dtype=cfg.compute_dtype)
+                        verbose=verbose, compute_dtype=cfg.compute_dtype,
+                        prepared=(None if prepared is None
+                                  else prepared.fit_prepared))
     if _dbg:
         print(f"[conv_mm] fit {_time.perf_counter() - _t:.1f}s", flush=True)
         _t = _time.perf_counter()

@@ -82,6 +82,32 @@ def _chunk_boundary() -> Optional[int]:
     return None
 
 
+def _chunk_cuts(n: int, nbytes: int, n_shards: int, bound: Optional[int],
+                shape=None):
+    """Pure shape math behind _chunk_rows: starting row offsets for the
+    fewest even row chunks whose per-shard bytes stay STRICTLY under the
+    gather boundary (the crash threshold is >=).  (0,) means un-chunked.
+    Shared with prepare_fit, which plans chunks from ShapeDtypeStructs
+    before any real array exists."""
+    if bound is None or nbytes / n_shards < bound:
+        return (0,)
+    row_bytes = max(nbytes // max(n, 1), 1)
+    n_chunks = int(nbytes) // (bound * n_shards) + 1
+    while True:
+        per = -(-n // n_chunks)
+        per += (-per) % n_shards            # align up to the data axis
+        if per * row_bytes < bound * n_shards:
+            break
+        if per <= n_shards:                  # smallest aligned chunk
+            raise ValueError(
+                f"array {tuple(shape) if shape is not None else (n, '...')} "
+                f"cannot be row-chunked under the {bound}-byte per-device "
+                "gather boundary (a single per-shard row group already "
+                "crosses it); shard over more 'data'-axis devices")
+        n_chunks += 1
+    return tuple(range(0, n, per))
+
+
 def _chunk_rows(flats, mesh):
     """Split oversize resident arrays into row-contiguous chunks that each
     stay under the single-buffer gather boundary PER DEVICE SHARD.
@@ -113,29 +139,14 @@ def _chunk_rows(flats, mesh):
             n_shards = (int(m.shape.get("data", 1))
                         if m is not None and spec is not None and len(spec)
                         and spec[0] == "data" else 1)
-        if bound is None or fa.nbytes / n_shards < bound:
+        n = int(fa.shape[0])
+        cuts = _chunk_cuts(n, int(fa.nbytes), n_shards, bound,
+                           shape=fa.shape)
+        if cuts == (0,):
             chunked.append((fa,))
             offsets.append((0,))
             continue
-        n = int(fa.shape[0])
-        row_bytes = max(fa.nbytes // max(n, 1), 1)
-        # fewest even chunks with per-shard chunk bytes STRICTLY under the
-        # boundary (the crash threshold is >=); the loop re-checks after
-        # rounding the chunk row count up to the data axis
-        n_chunks = int(fa.nbytes) // (bound * n_shards) + 1
-        while True:
-            per = -(-n // n_chunks)
-            per += (-per) % n_shards            # align up to the data axis
-            if per * row_bytes < bound * n_shards:
-                break
-            if per <= n_shards:                  # smallest aligned chunk
-                raise ValueError(
-                    f"array {tuple(fa.shape)} cannot be row-chunked under "
-                    f"the {bound}-byte per-device gather boundary (a "
-                    "single per-shard row group already crosses it); "
-                    "shard over more 'data'-axis devices")
-            n_chunks += 1
-        cuts = list(range(0, n, per))
+        per = cuts[1]
         chunked.append(tuple(fa[lo:lo + per] for lo in cuts))
         offsets.append(tuple(cuts))
     return tuple(chunked), tuple(offsets)
@@ -174,130 +185,28 @@ def oversize_gather_buffers(flats, mesh) -> List[str]:
             if fa.nbytes / n_shards >= GATHER_BUFFER_BOUNDARY]
 
 
-def fit(
-    apply_fn: Callable,                  # (params, rng, *batch_arrays) -> (xhat, mu, logvar) | (xhat, None, None)
-    params,
-    arrays: Sequence[jnp.ndarray],       # batch-axis-aligned inputs; arrays[0] is the recon target
-    *,
-    epochs: int,
-    batch_size: int,
-    learning_rate: float,
-    beta: float = 1.0,
-    reduction: str = "mean",
-    seed: int = 42,
-    kl_anneal_epochs: int = 0,
-    variational: bool = True,
-    log_every: int = 1,
-    verbose: bool = False,
-    checkpoint_dir: Optional[str] = None,
-    checkpoint_every: int = 0,
-    resume: bool = True,
-    mesh=None,                           # jax Mesh -> DP over 'data' (+ TP
-    param_shardings=None,                # via the caller's sharding tree)
-    compute_dtype: Optional[str] = None,  # "bfloat16" -> mixed precision
-    n_rows: Optional[int] = None,        # valid rows if arrays carry padding
-) -> FitResult:
-    """Single fused trainer for 1 device and for device meshes.
+# --------------------------------------------------------------------------
+# Fused fast-path program construction, shared by fit() and prepare_fit().
+# These factories close over SHAPES AND HYPERPARAMETERS ONLY — no data — so
+# the exact training program fit() runs can be traced, lowered and compiled
+# before the feature arrays exist (prepare_fit), overlapping the ~2 s Python
+# trace + compile-cache load with upstream pipeline stages.  fit() composes
+# the same factories, so both paths trace ONE Python structure: the prepared
+# executable is the fast path's program, not a reimplementation.
+# --------------------------------------------------------------------------
 
-    With `mesh`, the SAME program runs SPMD: the dataset rows shard over the
-    mesh's 'data' axis (HBM use scales down per device), every minibatch is
-    sharding-constrained over 'data' so forward/backward compute shards, and
-    the gradient/loss reductions become XLA-inserted psums over ICI.  Params
-    are replicated unless `param_shardings` marks kernels for tensor
-    parallelism (parallel.mesh).  Batch composition, RNG streams, epoch
-    schedule and history arithmetic are IDENTICAL to the single-device path
-    — mesh training is step-equivalent to fit() by construction, not by a
-    parallel reimplementation (the reference has no DP at all, SURVEY §2c).
-    """
-    if n_rows is None:
-        # Guard (advisor round 3): multihost staging (global_batch_from_local
-        # / stage_features_sharded) returns P('data') arrays whose leading
-        # dim may be PADDED with zero rows; treating shape[0] as the row
-        # count would silently train on the padding.  A pre-sharded 'data'
-        # array therefore requires an explicit n_rows.
-        spec = getattr(getattr(arrays[0], "sharding", None), "spec", None)
-        if spec is not None and len(spec) and spec[0] == "data":
-            raise ValueError(
-                "arrays[0] is already sharded P('data') — staged arrays may "
-                "carry zero-row padding (parallel.multihost.padded_rows); "
-                "pass n_rows=<valid row count> explicitly")
-    n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
-    arrays = tuple(jnp.asarray(a) for a in arrays)
-    target_idx = 0
-    flats, tails = _flatten_for_gather(arrays)
 
-    if mesh is not None:
-        # A P('data') resident array needs its leading dim divisible by the
-        # data axis (uneven NamedSharding arrays cannot be constructed —
-        # parallel.multihost.padded_rows).  Pad with zero rows; the batch
-        # gathers only ever index rows < n so the padding is never trained.
-        n_data = int(mesh.shape.get("data", 1))
-        cur = int(flats[0].shape[0])
-        pad = (-cur) % n_data
-        if pad:
-            flats = tuple(
-                jnp.concatenate(
-                    [fa, jnp.zeros((pad,) + fa.shape[1:], fa.dtype)])
-                for fa in flats)
-
-    # Single-buffer addressing boundary (measured on v5e): per-step row
-    # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
-    # (8,000x(128,646) f32 = 2.64 GB faults; 6,000 = 1.98 GB is fine).
-    # Round 5: instead of refusing single-chip, oversize datasets are
-    # auto-split into even row chunks (each strictly under the boundary
-    # per device shard) and gathered chunk-wise — bit-identical results,
-    # sub-0.1 ms/step extra.  A mesh additionally shards rows over 'data'
-    # (per-shard footprint |data|/n_data), so chunking only engages when
-    # even the per-shard view crosses the boundary.
-    flats, chunk_offsets = _chunk_rows(flats, mesh)
-
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sharding = NamedSharding(mesh, P("data"))
-        # dataset rows sharded over 'data': per-device HBM footprint is
-        # |data|/n_data; the per-step row gather crosses shards via one
-        # small XLA-inserted collective (batch-sized, rides ICI)
-        flats = tuple(
-            tuple(jax.device_put(c, NamedSharding(mesh, P("data")))
-                  for c in chunks)
-            for chunks in flats)
-        if param_shardings is None:
-            param_shardings = jax.tree_util.tree_map(
-                lambda _: NamedSharding(mesh, P()), params)
-        params = jax.tree_util.tree_map(jax.device_put, params,
-                                        param_shardings)
-
-        def shard_batch(batch):
-            return tuple(jax.lax.with_sharding_constraint(b, batch_sharding)
-                         for b in batch)
-    else:
-        def shard_batch(batch):
-            return batch
-
+def _make_gather_batch(tails, chunk_offsets, shard_batch):
     def gather_batch(arrs, idx):
         batch = tuple(
             _gather_rows(chunks, offs, idx).reshape((idx.shape[0],) + tail)
             if len(tail) > 1 else _gather_rows(chunks, offs, idx)
             for chunks, offs, tail in zip(arrs, chunk_offsets, tails))
         return shard_batch(batch)
+    return gather_batch
 
-    tx = optax.adam(learning_rate)
-    # ONE jitted program: fresh param buffers (the epoch programs donate
-    # them, which would otherwise delete the caller's pytree) + optimizer
-    # init.  Eagerly this is ~70 tiny dispatches — measurable per-op latency
-    # on remote-attached devices.
-    params, opt_state = jax.jit(
-        lambda p: (jax.tree_util.tree_map(jnp.array, p), tx.init(p)))(params)
-    root = jax.random.PRNGKey(seed)
 
-    # Mixed precision (TPU-native default for the conv model): forward +
-    # backward run in bfloat16 — halved activation HBM traffic, MXU-native
-    # inputs — while master params, Adam moments and the loss/KL reductions
-    # stay float32.  Gradients exit the cast boundary as float32
-    # (d(astype)/dx is astype back), so the optimizer math is exact f32.
-    cast = (jnp.bfloat16 if compute_dtype in ("bf16", "bfloat16")
-            else None)
-
+def _make_step(apply_fn, tx, *, target_idx, reduction, variational, cast):
     def loss_fn(p, rng, batch, beta_now):
         # the LOSS target stays full f32 — only the model input casts down
         # (round-tripping the target through bf16 would quantize the recon
@@ -327,6 +236,303 @@ def fit(
             p, rng, batch, beta_now)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, aux
+
+    return step
+
+
+def _make_train_all(step, gather_batch, *, n, n_full, rem, batch_size,
+                    epochs, perm_tag):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_all(p, opt_state, arrs, root, betas):
+        keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
+            jnp.arange(epochs))
+        perm_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, perm_tag))(keys)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
+            perm_keys)
+
+        def epoch_body(carry, inp):
+            p, opt_state = carry
+            perm, beta_now, ekey = inp
+            perm_full = perm[: n_full * batch_size].reshape(
+                n_full, batch_size)
+
+            def body(c, xs):
+                p, opt_state = c
+                i, idx = xs
+                batch = gather_batch(arrs, idx)
+                rng = jax.random.fold_in(ekey, i)
+                p, opt_state, aux = step(p, opt_state, rng, batch,
+                                         beta_now)
+                return (p, opt_state), jnp.stack(
+                    [aux["total"], aux["recon"], aux["kl"]])
+
+            (p, opt_state), metrics = jax.lax.scan(
+                body, (p, opt_state), (jnp.arange(n_full), perm_full))
+            tot = jnp.sum(metrics, axis=0) * batch_size
+            if rem:
+                ridx = perm[n_full * batch_size:]
+                batch = gather_batch(arrs, ridx)
+                rng = jax.random.fold_in(ekey, n_full)
+                p, opt_state, aux = step(p, opt_state, rng, batch,
+                                         beta_now)
+                tot = tot + jnp.stack(
+                    [aux["total"], aux["recon"], aux["kl"]]) * rem
+            return (p, opt_state), tot / n
+
+        (p, opt_state), hist = jax.lax.scan(
+            epoch_body, (p, opt_state), (perms, betas, keys))
+        return p, opt_state, hist
+
+    return train_all
+
+
+def _fit_fingerprint(flat_shapes_dtypes, chunk_offsets, **hyper):
+    """Static identity of the fused fast-path program: the flattened array
+    layout + chunk plan + every trace-affecting hyperparameter.  A prepared
+    executable may only run where fingerprints match EXACTLY — a silent
+    shape/hyperparameter drift would execute the wrong program."""
+    return (tuple(flat_shapes_dtypes), tuple(chunk_offsets),
+            tuple(sorted(hyper.items())))
+
+
+@dataclass
+class PreparedFit:
+    """AOT-prepared fused trainer: fresh (params, opt_state) device buffers
+    plus the compiled fast-path train_all executable.  SINGLE USE — the
+    executable donates params/opt_state on execution.  Built by
+    prepare_fit(); consumed by fit(..., prepared=...)."""
+    params: Any
+    opt_state: Any
+    compiled: Any
+    root: Any
+    betas: np.ndarray
+    fingerprint: tuple
+
+
+def prepare_fit(
+    apply_fn: Callable,
+    params,
+    array_specs: Sequence[Any],          # jax.ShapeDtypeStruct per array
+    *,
+    epochs: int,
+    batch_size: int,
+    learning_rate: float,
+    beta: float = 1.0,
+    reduction: str = "mean",
+    seed: int = 42,
+    kl_anneal_epochs: int = 0,
+    variational: bool = True,
+    compute_dtype: Optional[str] = None,
+) -> PreparedFit:
+    """Build fit()'s fused fast-path program from SHAPES alone.
+
+    Training setup costs real wall time on a remote-attached device —
+    jitted model/optimizer init dispatch, the ~2 s Python trace of the
+    epoch-scan program, the compile (or persistent-cache load) — and none
+    of it needs the data, only shapes.  prepare_fit runs all of it, so a
+    pipeline can overlap training setup with feature extraction (bench.py
+    stage 1-2) and then call fit(..., prepared=...) the moment features
+    land.  The prepared path is bit-identical to the plain path by
+    construction: identical init program, identical seeds, and the SAME
+    train_all Python structure (shared factories above) — only the wall
+    clock moves (tests/test_prepared_fit.py pins bit-identity).
+
+    Single-device only (fit(mesh=...) covers SPMD); checkpointing/verbose
+    use fit's incremental path, which has nothing to prepare.
+    """
+    n = int(array_specs[0].shape[0])
+    tails = tuple(tuple(s.shape[1:]) for s in array_specs)
+    flat_specs = tuple(
+        jax.ShapeDtypeStruct(
+            (n, int(np.prod(s.shape[1:], dtype=np.int64)))
+            if len(s.shape) > 2 else tuple(s.shape), s.dtype)
+        for s in array_specs)
+    bound = _chunk_boundary()
+    chunk_offsets, chunk_specs = [], []
+    for fs in flat_specs:
+        nbytes = int(np.prod(fs.shape, dtype=np.int64)
+                     * jnp.dtype(fs.dtype).itemsize)
+        cuts = _chunk_cuts(n, nbytes, 1, bound, shape=fs.shape)
+        per = cuts[1] if len(cuts) > 1 else n
+        chunk_offsets.append(cuts)
+        chunk_specs.append(tuple(
+            jax.ShapeDtypeStruct((min(per, n - lo),) + tuple(fs.shape[1:]),
+                                 fs.dtype) for lo in cuts))
+    chunk_offsets, chunk_specs = tuple(chunk_offsets), tuple(chunk_specs)
+
+    tx = optax.adam(learning_rate)
+    # fresh param buffers + optimizer init as ONE jitted program (same as
+    # fit's) — dispatched NOW, so the device fills the Adam moments while
+    # upstream stages run
+    params, opt_state = jax.jit(
+        lambda p: (jax.tree_util.tree_map(jnp.array, p), tx.init(p)))(params)
+    cast = (jnp.bfloat16 if compute_dtype in ("bf16", "bfloat16") else None)
+    step = _make_step(apply_fn, tx, target_idx=0, reduction=reduction,
+                      variational=variational, cast=cast)
+    gather_batch = _make_gather_batch(tails, chunk_offsets,
+                                      lambda batch: batch)
+    n_full = n // batch_size
+    rem = n - n_full * batch_size
+    perm_tag = max(7919, n_full + 1)
+    train_all = _make_train_all(step, gather_batch, n=n, n_full=n_full,
+                                rem=rem, batch_size=batch_size,
+                                epochs=epochs, perm_tag=perm_tag)
+    betas = np.asarray([_beta_at(beta, e, kl_anneal_epochs)
+                        for e in range(epochs)], np.float32)
+    root = jax.random.PRNGKey(seed)
+    compiled = train_all.lower(params, opt_state, chunk_specs, root,
+                               betas).compile()
+    fp = _fit_fingerprint(
+        tuple((tuple(fs.shape), jnp.dtype(fs.dtype).name)
+              for fs in flat_specs),
+        chunk_offsets,
+        n=int(n), epochs=int(epochs), batch_size=int(batch_size),
+        learning_rate=float(learning_rate), beta=float(beta),
+        reduction=reduction, seed=int(seed),
+        kl_anneal_epochs=int(kl_anneal_epochs),
+        variational=bool(variational),
+        compute_dtype=compute_dtype or "float32")
+    return PreparedFit(params=params, opt_state=opt_state, compiled=compiled,
+                       root=root, betas=betas, fingerprint=fp)
+
+
+def fit(
+    apply_fn: Callable,                  # (params, rng, *batch_arrays) -> (xhat, mu, logvar) | (xhat, None, None)
+    params,
+    arrays: Sequence[jnp.ndarray],       # batch-axis-aligned inputs; arrays[0] is the recon target
+    *,
+    epochs: int,
+    batch_size: int,
+    learning_rate: float,
+    beta: float = 1.0,
+    reduction: str = "mean",
+    seed: int = 42,
+    kl_anneal_epochs: int = 0,
+    variational: bool = True,
+    log_every: int = 1,
+    verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+    mesh=None,                           # jax Mesh -> DP over 'data' (+ TP
+    param_shardings=None,                # via the caller's sharding tree)
+    compute_dtype: Optional[str] = None,  # "bfloat16" -> mixed precision
+    n_rows: Optional[int] = None,        # valid rows if arrays carry padding
+    prepared: Optional[PreparedFit] = None,  # prepare_fit() handle (AOT)
+) -> FitResult:
+    """Single fused trainer for 1 device and for device meshes.
+
+    With `mesh`, the SAME program runs SPMD: the dataset rows shard over the
+    mesh's 'data' axis (HBM use scales down per device), every minibatch is
+    sharding-constrained over 'data' so forward/backward compute shards, and
+    the gradient/loss reductions become XLA-inserted psums over ICI.  Params
+    are replicated unless `param_shardings` marks kernels for tensor
+    parallelism (parallel.mesh).  Batch composition, RNG streams, epoch
+    schedule and history arithmetic are IDENTICAL to the single-device path
+    — mesh training is step-equivalent to fit() by construction, not by a
+    parallel reimplementation (the reference has no DP at all, SURVEY §2c).
+    """
+    if n_rows is None:
+        # Guard (advisor round 3): multihost staging (global_batch_from_local
+        # / stage_features_sharded) returns P('data') arrays whose leading
+        # dim may be PADDED with zero rows; treating shape[0] as the row
+        # count would silently train on the padding.  A pre-sharded 'data'
+        # array therefore requires an explicit n_rows.
+        spec = getattr(getattr(arrays[0], "sharding", None), "spec", None)
+        if spec is not None and len(spec) and spec[0] == "data":
+            raise ValueError(
+                "arrays[0] is already sharded P('data') — staged arrays may "
+                "carry zero-row padding (parallel.multihost.padded_rows); "
+                "pass n_rows=<valid row count> explicitly")
+    if prepared is not None and (mesh is not None
+                                 or checkpoint_dir is not None or verbose):
+        raise ValueError(
+            "prepared fit covers only the single-device fused fast path "
+            "(no mesh / checkpointing / verbose — those paths have nothing "
+            "AOT-preparable)")
+    n = int(arrays[0].shape[0]) if n_rows is None else int(n_rows)
+    arrays = tuple(jnp.asarray(a) for a in arrays)
+    target_idx = 0
+    flats, tails = _flatten_for_gather(arrays)
+
+    if mesh is not None:
+        # A P('data') resident array needs its leading dim divisible by the
+        # data axis (uneven NamedSharding arrays cannot be constructed —
+        # parallel.multihost.padded_rows).  Pad with zero rows; the batch
+        # gathers only ever index rows < n so the padding is never trained.
+        n_data = int(mesh.shape.get("data", 1))
+        cur = int(flats[0].shape[0])
+        pad = (-cur) % n_data
+        if pad:
+            flats = tuple(
+                jnp.concatenate(
+                    [fa, jnp.zeros((pad,) + fa.shape[1:], fa.dtype)])
+                for fa in flats)
+
+    # Single-buffer addressing boundary (measured on v5e): per-step row
+    # gathers from one device buffer past 2^31 bytes CRASH the TPU worker
+    # (8,000x(128,646) f32 = 2.64 GB faults; 6,000 = 1.98 GB is fine).
+    # Round 5: instead of refusing single-chip, oversize datasets are
+    # auto-split into even row chunks (each strictly under the boundary
+    # per device shard) and gathered chunk-wise — bit-identical results,
+    # sub-0.1 ms/step extra.  A mesh additionally shards rows over 'data'
+    # (per-shard footprint |data|/n_data), so chunking only engages when
+    # even the per-shard view crosses the boundary.
+    flat_sd = tuple((tuple(f.shape), jnp.dtype(f.dtype).name) for f in flats)
+    flats, chunk_offsets = _chunk_rows(flats, mesh)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+        # dataset rows sharded over 'data': per-device HBM footprint is
+        # |data|/n_data; the per-step row gather crosses shards via one
+        # small XLA-inserted collective (batch-sized, rides ICI)
+        flats = tuple(
+            tuple(jax.device_put(c, NamedSharding(mesh, P("data")))
+                  for c in chunks)
+            for chunks in flats)
+        if param_shardings is None:
+            param_shardings = jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), params)
+        params = jax.tree_util.tree_map(jax.device_put, params,
+                                        param_shardings)
+
+        def shard_batch(batch):
+            return tuple(jax.lax.with_sharding_constraint(b, batch_sharding)
+                         for b in batch)
+    else:
+        def shard_batch(batch):
+            return batch
+
+    gather_batch = _make_gather_batch(tails, chunk_offsets, shard_batch)
+
+    tx = optax.adam(learning_rate)
+    if prepared is not None:
+        # prepare_fit already ran the init-buffers program — re-running it
+        # here would burn a dispatch and copy the (possibly ~342 MB) params
+        params, opt_state = prepared.params, prepared.opt_state
+    else:
+        # ONE jitted program: fresh param buffers (the epoch programs donate
+        # them, which would otherwise delete the caller's pytree) + optimizer
+        # init.  Eagerly this is ~70 tiny dispatches — measurable per-op
+        # latency on remote-attached devices.
+        params, opt_state = jax.jit(
+            lambda p: (jax.tree_util.tree_map(jnp.array, p),
+                       tx.init(p)))(params)
+    root = jax.random.PRNGKey(seed)
+
+    # Mixed precision (TPU-native default for the conv model): forward +
+    # backward run in bfloat16 — halved activation HBM traffic, MXU-native
+    # inputs — while master params, Adam moments and the loss/KL reductions
+    # stay float32.  Gradients exit the cast boundary as float32
+    # (d(astype)/dx is astype back), so the optimizer math is exact f32.
+    cast = (jnp.bfloat16 if compute_dtype in ("bf16", "bfloat16")
+            else None)
+
+    step = _make_step(apply_fn, tx, target_idx=target_idx,
+                      reduction=reduction, variational=variational,
+                      cast=cast)
 
     n_full = n // batch_size
     rem = n - n_full * batch_size
@@ -377,47 +583,32 @@ def fit(
         betas = np.asarray([_beta_at(beta, e, kl_anneal_epochs)
                             for e in range(epochs)], np.float32)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_all(p, opt_state, arrs, root, betas):
-            keys = jax.vmap(lambda e: jax.random.fold_in(root, e))(
-                jnp.arange(epochs))
-            perm_keys = jax.vmap(
-                lambda k: jax.random.fold_in(k, perm_tag))(keys)
-            perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
-                perm_keys)
+        if prepared is not None:
+            fp = _fit_fingerprint(
+                flat_sd, chunk_offsets,
+                n=int(n), epochs=int(epochs), batch_size=int(batch_size),
+                learning_rate=float(learning_rate), beta=float(beta),
+                reduction=reduction, seed=int(seed),
+                kl_anneal_epochs=int(kl_anneal_epochs),
+                variational=bool(variational),
+                compute_dtype=compute_dtype or "float32")
+            if fp != prepared.fingerprint:
+                raise ValueError(
+                    "prepared fit fingerprint mismatch — the AOT executable "
+                    "was built for a different array layout or hyperparam "
+                    f"set:\n  prepared: {prepared.fingerprint}\n"
+                    f"  this call: {fp}")
+            params, opt_state, hist = prepared.compiled(
+                params, opt_state, flats, root, betas)
+            hist = np.asarray(hist)
+            return FitResult(params=params, history=[
+                {"epoch": e + 1, "total": float(hist[e, 0]),
+                 "recon": float(hist[e, 1]), "kl": float(hist[e, 2])}
+                for e in range(epochs)])
 
-            def epoch_body(carry, inp):
-                p, opt_state = carry
-                perm, beta_now, ekey = inp
-                perm_full = perm[: n_full * batch_size].reshape(
-                    n_full, batch_size)
-
-                def body(c, xs):
-                    p, opt_state = c
-                    i, idx = xs
-                    batch = gather_batch(arrs, idx)
-                    rng = jax.random.fold_in(ekey, i)
-                    p, opt_state, aux = step(p, opt_state, rng, batch,
-                                             beta_now)
-                    return (p, opt_state), jnp.stack(
-                        [aux["total"], aux["recon"], aux["kl"]])
-
-                (p, opt_state), metrics = jax.lax.scan(
-                    body, (p, opt_state), (jnp.arange(n_full), perm_full))
-                tot = jnp.sum(metrics, axis=0) * batch_size
-                if rem:
-                    ridx = perm[n_full * batch_size:]
-                    batch = gather_batch(arrs, ridx)
-                    rng = jax.random.fold_in(ekey, n_full)
-                    p, opt_state, aux = step(p, opt_state, rng, batch,
-                                             beta_now)
-                    tot = tot + jnp.stack(
-                        [aux["total"], aux["recon"], aux["kl"]]) * rem
-                return (p, opt_state), tot / n
-
-            (p, opt_state), hist = jax.lax.scan(
-                epoch_body, (p, opt_state), (perms, betas, keys))
-            return p, opt_state, hist
+        train_all = _make_train_all(step, gather_batch, n=n, n_full=n_full,
+                                    rem=rem, batch_size=batch_size,
+                                    epochs=epochs, perm_tag=perm_tag)
 
         import os as _os
         import time as _time

@@ -65,6 +65,26 @@ def train_basic_vae(source: Source, ws: Workspace,
     # cache blob contract (06:119-139: dict {X, track_ids}, reused on rerun)
     cache_path = out_dir / "mfcc_features_cache.npy"
     report = None
+    # Speculative AOT train setup overlapped with the feature scan (round 5,
+    # same shape-only mechanism as the medium tier — pipelines.medium):
+    # planned from the source row count and the 2*n_mfcc stats width; a
+    # dropped row or width drift just means the speculation lost and the
+    # plain path trains (tolerant consume below).
+    import threading
+    _d = 2 * mfcc_cfg.n_mfcc
+    _pcfg = DenseVaeConfig(**{**asdict(vae_cfg), "input_dim": _d,
+                              "hidden_dims": tuple(vae_cfg.hidden_dims)})
+    _prep_box: Dict = {}
+
+    def _prepare_train():
+        try:
+            _prep_box["prep"] = model_api.prepare_dense_vae(
+                len(source), _d, _pcfg)
+        except Exception as e:
+            _prep_box["err"] = e
+
+    _prep_thread = threading.Thread(target=_prepare_train, daemon=True)
+    _prep_thread.start()
     if use_cache and cache_path.exists():
         blob = np.load(cache_path, allow_pickle=True).item()
         x, ids = blob["X"], blob["track_ids"]
@@ -79,7 +99,13 @@ def train_basic_vae(source: Source, ws: Workspace,
 
     cfg = DenseVaeConfig(**{**asdict(vae_cfg), "input_dim": x.shape[1],
                             "hidden_dims": tuple(vae_cfg.hidden_dims)})
-    model, res, mu = model_api.train_dense_vae(xs, cfg, verbose=verbose)
+    _prep_thread.join()
+    prepared = _prep_box.get("prep")
+    if prepared is not None and (prepared.cfg != cfg
+                                 or prepared.shapes != (tuple(xs.shape),)):
+        prepared = None               # speculation lost (rows dropped, ...)
+    model, res, mu = model_api.train_dense_vae(xs, cfg, verbose=verbose,
+                                               prepared=prepared)
 
     np.save(out_dir / "track_ids.npy", ids)
     np.save(out_dir / "latent_mu.npy", mu.astype(np.float32))

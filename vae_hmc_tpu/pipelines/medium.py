@@ -115,7 +115,7 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
                   audio: Optional[Dict] = None,
                   lyrics: Optional[Dict] = None, mesh=None,
                   defer_artifacts: bool = False,
-                  artifact_gate=None) -> Dict:
+                  artifact_gate=None, prepared=None) -> Dict:
     """audio/lyrics: optionally pass build_audio_features /
     build_lyrics_embeddings results to skip re-reading from disk.
 
@@ -156,8 +156,21 @@ def train_conv_mm(ws: Workspace, cfg: ConvMMVaeConfig = ConvMMVaeConfig(),
     import time as _time
     _t0 = _time.perf_counter()
     x_nhwc = to_nhwc(x)          # device arrays relayout on device
+    if prepared is not None:
+        # TOLERANT consume (vs model_api's strict raise): the pipeline's
+        # prepare was planned from the SOURCE row count, but the feature
+        # build may drop non-finite rows — a shape drift here just means
+        # the speculation lost; train the plain path.
+        want = (tuple(x_nhwc.shape), (x_nhwc.shape[0], lyr.shape[1]),
+                (x_nhwc.shape[0], 1))
+        if (mesh is not None or prepared.cfg != cfg
+                or tuple(prepared.shapes) != want):
+            _vlog(f"train12: dropping stale prepared trainer "
+                  f"(prepared {prepared.shapes} vs data {want})")
+            prepared = None
     model, res, mu = model_api.train_conv_mm_vae(x_nhwc, lyr, mask, cfg,
-                                                 verbose=verbose, mesh=mesh)
+                                                 verbose=verbose, mesh=mesh,
+                                                 prepared=prepared)
     _vlog(f"train12/fit+export: {_time.perf_counter() - _t0:.1f}s")
 
     def _save_artifacts():
@@ -721,6 +734,26 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     n_src = len(source)
     genre_map = {int(t): str(g) for t, g in zip(source.track_ids,
                                                 source.genres)}
+    # Speculative AOT train setup on a thread (round 5): the fused trainer's
+    # init dispatch + Python trace + executable cache-load need only shapes,
+    # and the tunnel is idle while the scanned feature program owns the
+    # device.  Planned from the source row count; if the feature build drops
+    # non-finite rows the shapes won't match and train_conv_mm falls back to
+    # the plain path (tolerant consume there) — correctness never depends on
+    # the speculation.  Bit-identity: tests/test_prepared_fit.py.
+    import threading
+    _prep_box: Dict = {}
+
+    def _prepare_train():
+        try:
+            _prep_box["prep"] = model_api.prepare_conv_mm_vae(
+                n_src, (mel_cfg.n_mels, mel_cfg.n_frames, 1),
+                text_cfg.embed_dim, vae_cfg)
+        except Exception as e:          # speculation only — never fatal
+            _prep_box["err"] = e
+
+    _prep_thread = threading.Thread(target=_prepare_train, daemon=True)
+    _prep_thread.start()
     with timer.stage("build_audio_features", n_src):
         a = build_audio_features(source, ws, mel_cfg, device_batch,
                                  write_features=write_mel_features,
@@ -734,12 +767,17 @@ def run_medium_pipeline(source: Source, ws: Workspace,
     # at 10.4 s uncontended vs 17.8 s sharing the ~33 MB/s tunnel with the
     # fetch — whereas viz15 is one compute-bound UMAP dispatch plus host
     # matplotlib, so overlapping the fetch there is nearly free.
-    import threading
     gate = threading.Event()
     with timer.stage("train_conv_mm", n_src):
+        _prep_thread.join()
+        if "err" in _prep_box:
+            from vae_hmc_tpu.core.profiling import log as _plog
+            _plog(f"train12: speculative prepare failed "
+                  f"({_prep_box['err']}); using in-line setup")
         t = train_conv_mm(ws, vae_cfg, verbose=verbose, audio=a, lyrics=l,
                           save_epoch_checkpoints=save_epoch_checkpoints,
-                          defer_artifacts=True, artifact_gate=gate)
+                          defer_artifacts=True, artifact_gate=gate,
+                          prepared=_prep_box.get("prep"))
     arrays = {"vae_mm_latents": (t["latents"], t["ids"]),
               "baseline_mel_flat": (a["x"], a["ids"]),
               "baseline_lyrics_only": (l["emb"], l["ids"])}
