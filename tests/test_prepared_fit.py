@@ -123,6 +123,44 @@ def test_prepare_dense_vae_api_parity(rng):
     assert np.array_equal(np.asarray(mu0), np.asarray(mu1))
 
 
+def test_prepare_hard_vae_api_parity(rng):
+    """CVAE (cond array) and plain Beta-VAE prepared == plain, bitwise."""
+    from vae_hmc_tpu.core.config import HardVaeConfig
+    n, d, n_genres = 41, 14, 4
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    cond = np.eye(n_genres, dtype=np.float32)[rng.integers(0, n_genres, n)]
+
+    cvae = HardVaeConfig(hidden_dim=12, latent_dim=3, epochs=3,
+                         batch_size=16, use_cvae=True, cond_genre=True,
+                         kl_anneal_epochs=2)
+    _, r0, mu0 = model_api.train_hard_vae(x, cvae, cond=cond)
+    prep = model_api.prepare_hard_vae(n, d, cvae, cond_dim=n_genres)
+    _, r1, mu1 = model_api.train_hard_vae(x, cvae, cond=cond, prepared=prep)
+    _assert_bit_identical(r0, r1)
+    assert np.array_equal(np.asarray(mu0), np.asarray(mu1))
+
+    beta = HardVaeConfig(hidden_dim=12, latent_dim=3, epochs=3,
+                         batch_size=16)
+    _, r0, mu0 = model_api.train_hard_vae(x, beta)
+    prep = model_api.prepare_hard_vae(n, d, beta)
+    _, r1, mu1 = model_api.train_hard_vae(x, beta, prepared=prep)
+    _assert_bit_identical(r0, r1)
+    assert np.array_equal(np.asarray(mu0), np.asarray(mu1))
+
+
+def test_prepare_ae_api_parity(rng):
+    from vae_hmc_tpu.core.config import AeConfig
+    n, d = 47, 11
+    cfg = AeConfig(input_dim=d, hidden_dim=10, latent_dim=3, epochs=3,
+                   batch_size=16)
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    _, r0, z0 = model_api.train_ae(x, cfg)
+    prep = model_api.prepare_ae(n, d, cfg)
+    _, r1, z1 = model_api.train_ae(x, cfg, prepared=prep)
+    _assert_bit_identical(r0, r1)
+    assert np.array_equal(np.asarray(z0), np.asarray(z1))
+
+
 def test_prepare_conv_mm_vae_guards(rng):
     n, mels, frames, ld = 20, 8, 12, 6
     cfg = ConvMMVaeConfig(epochs=1, batch_size=16, audio_channels=(2, 4),

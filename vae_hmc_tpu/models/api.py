@@ -131,23 +131,11 @@ def train_dense_vae(x: np.ndarray, cfg: DenseVaeConfig,
     return model, res, mu
 
 
-def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
-                   cond: Optional[np.ndarray] = None,
-                   verbose: bool = False, mesh=None):
-    """Hard-tier Beta-VAE / CVAE (reference scripts/19): x is the early-fused
-    (N, D) feature matrix (optionally with one-hots already appended,
-    19:174-177); `cond` is the CVAE conditioning one-hot (19:180-189)."""
-    cond_dim = 0 if (cond is None or not cfg.use_cvae) else cond.shape[1]
-    model = DenseVAE(input_dim=x.shape[1],
+def _hard_model_and_apply(cfg: HardVaeConfig, d: int, cond_dim: int):
+    model = DenseVAE(input_dim=d,
                      hidden_dims=(cfg.hidden_dim, cfg.hidden_dim),
                      latent_dim=cfg.latent_dim, cond_dim=cond_dim)
-    key = jax.random.PRNGKey(cfg.seed)
-    arrays = [jnp.asarray(x, jnp.float32)]
     if cond_dim:
-        arrays.append(jnp.asarray(cond, jnp.float32))
-        d = x.shape[1]
-        params = jax.jit(lambda k: model.init(
-            k, jnp.zeros((1, d)), k, jnp.zeros((1, cond_dim))))(key)
 
         def apply_fn(p, rng, xb, cb):
             return model.apply(p, xb, rng, cb)
@@ -155,8 +143,6 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
         def encode_mu(p, xb, cb):
             return model.apply(p, xb, cb, method=model.encode)[0]
     else:
-        d = x.shape[1]
-        params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
 
         def apply_fn(p, rng, xb):
             return model.apply(p, xb, rng)
@@ -164,12 +150,66 @@ def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
         def encode_mu(p, xb):
             return model.apply(p, xb, method=model.encode)[0]
 
+    return model, apply_fn, encode_mu
+
+
+def _hard_init(model, cfg: HardVaeConfig, d: int, cond_dim: int):
+    key = jax.random.PRNGKey(cfg.seed)
+    if cond_dim:
+        return jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, d)), k, jnp.zeros((1, cond_dim))))(key)
+    return jax.jit(lambda k: model.init(k, jnp.zeros((1, d)), k))(key)
+
+
+def prepare_hard_vae(n: int, d: int, cfg: HardVaeConfig,
+                     cond_dim: int = 0) -> PreparedTrain:
+    """AOT-build train_hard_vae's setup from shapes alone (see
+    prepare_conv_mm_vae): the hard tier overlaps it with the script-18
+    feature prep (pipelines.hard.run_hard_pipeline).  d is the early-fused
+    width (2*n_mfcc + embed_dim + optional one-hots); cond_dim the CVAE
+    conditioning width (0 for the plain Beta-VAE).  Single use."""
+    cond_dim = 0 if not cfg.use_cvae else int(cond_dim)
+    model, apply_fn, _ = _hard_model_and_apply(cfg, d, cond_dim)
+    params = _hard_init(model, cfg, d, cond_dim)
+    shapes = ((n, d),) + (((n, cond_dim),) if cond_dim else ())
+    specs = tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes)
+    fp = prepare_fit(apply_fn, params, specs,
+                     epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate, beta=cfg.beta,
+                     reduction=cfg.loss_reduction, seed=cfg.seed,
+                     kl_anneal_epochs=cfg.kl_anneal_epochs)
+    return PreparedTrain(cfg=cfg, shapes=shapes, fit_prepared=fp)
+
+
+def train_hard_vae(x: np.ndarray, cfg: HardVaeConfig,
+                   cond: Optional[np.ndarray] = None,
+                   verbose: bool = False, mesh=None,
+                   prepared: Optional[PreparedTrain] = None):
+    """Hard-tier Beta-VAE / CVAE (reference scripts/19): x is the early-fused
+    (N, D) feature matrix (optionally with one-hots already appended,
+    19:174-177); `cond` is the CVAE conditioning one-hot (19:180-189).
+    `prepared` (from prepare_hard_vae) runs the same program AOT-compiled
+    earlier — bit-identical results."""
+    cond_dim = 0 if (cond is None or not cfg.use_cvae) else cond.shape[1]
+    model, apply_fn, encode_mu = _hard_model_and_apply(cfg, x.shape[1],
+                                                       cond_dim)
+    arrays = [jnp.asarray(x, jnp.float32)]
+    if cond_dim:
+        arrays.append(jnp.asarray(cond, jnp.float32))
+    if prepared is not None:
+        _check_prepared(prepared, cfg, tuple(a.shape for a in arrays), mesh)
+        params = prepared.fit_prepared.params
+    else:
+        params = _hard_init(model, cfg, x.shape[1], cond_dim)
+
     res = _fit_dispatch(apply_fn, params, arrays, mesh,
                         epochs=cfg.epochs, batch_size=cfg.batch_size,
                         learning_rate=cfg.learning_rate, beta=cfg.beta,
                         reduction=cfg.loss_reduction, seed=cfg.seed,
                         kl_anneal_epochs=cfg.kl_anneal_epochs,
-                        verbose=verbose)
+                        verbose=verbose,
+                        prepared=(None if prepared is None
+                                  else prepared.fit_prepared))
     mu = encode_in_batches(encode_mu, res.params, arrays)
     return model, res, mu
 
@@ -276,22 +316,57 @@ def train_conv_mm_vae(x_nhwc: np.ndarray, lyr: np.ndarray, mask: np.ndarray,
     return model, res, mu
 
 
-def train_ae(x: np.ndarray, cfg: AeConfig, verbose: bool = False):
-    """Deterministic AE baseline (reference scripts/22:139-171)."""
-    model = AE(input_dim=x.shape[1], hidden_dim=cfg.hidden_dim,
+def _ae_model_and_apply(cfg: AeConfig, d: int):
+    model = AE(input_dim=d, hidden_dim=cfg.hidden_dim,
                latent_dim=cfg.latent_dim)
-    key = jax.random.PRNGKey(cfg.seed)
-    d = x.shape[1]
-    params = jax.jit(lambda k: model.init(k, jnp.zeros((1, d))))(key)
 
     def apply_fn(p, rng, xb):
         xhat, z = model.apply(p, xb)
         return (xhat,)
 
+    return model, apply_fn
+
+
+def _ae_init(model, cfg: AeConfig, d: int):
+    key = jax.random.PRNGKey(cfg.seed)
+    return jax.jit(lambda k: model.init(k, jnp.zeros((1, d))))(key)
+
+
+def prepare_ae(n: int, d: int, cfg: AeConfig) -> PreparedTrain:
+    """AOT-build train_ae's setup from shapes alone (see
+    prepare_conv_mm_vae): the hard tier kicks this off the moment script
+    18's feature shapes are known and consumes it in the script-22 baseline
+    stage, overlapping AE setup with the whole train/cluster/viz span.
+    Single use."""
+    model, apply_fn = _ae_model_and_apply(cfg, d)
+    params = _ae_init(model, cfg, d)
+    fp = prepare_fit(apply_fn, params,
+                     (jax.ShapeDtypeStruct((n, d), jnp.float32),),
+                     epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate, seed=cfg.seed,
+                     variational=False)
+    return PreparedTrain(cfg=cfg, shapes=((n, d),), fit_prepared=fp)
+
+
+def train_ae(x: np.ndarray, cfg: AeConfig, verbose: bool = False,
+             prepared: Optional[PreparedTrain] = None):
+    """Deterministic AE baseline (reference scripts/22:139-171).  `prepared`
+    (from prepare_ae) runs the same program AOT-compiled earlier —
+    bit-identical results."""
+    d = x.shape[1]
+    model, apply_fn = _ae_model_and_apply(cfg, d)
+    if prepared is not None:
+        _check_prepared(prepared, cfg, (tuple(x.shape),), mesh=None)
+        params = prepared.fit_prepared.params
+    else:
+        params = _ae_init(model, cfg, d)
+
     res = fit(apply_fn, params, (jnp.asarray(x, jnp.float32),),
               epochs=cfg.epochs, batch_size=cfg.batch_size,
               learning_rate=cfg.learning_rate, seed=cfg.seed,
-              variational=False, verbose=verbose)
+              variational=False, verbose=verbose,
+              prepared=(None if prepared is None
+                        else prepared.fit_prepared))
 
     def encode_z(p, xb):
         return model.apply(p, xb, method=model.encode)

@@ -61,7 +61,13 @@ def _one_hot(idx: np.ndarray, n: int) -> np.ndarray:
 def prepare_features(source: Source, ws: Workspace,
                      mfcc_cfg: MfccConfig = MFCC_HARD,
                      text_cfg: TextEmbedConfig = TEXT_HARD,
-                     device_batch: int = 64, force: bool = False) -> Dict:
+                     device_batch: int = 64, force: bool = False,
+                     on_shapes=None) -> Dict:
+    """on_shapes(n_kept, audio_w, text_w, n_genres, n_langs): fired the
+    moment the final feature widths are known (text width is data-dependent
+    here — TF-IDF vocab when MiniLM is absent, ref 18:221) and BEFORE the
+    artifact writes, so run_hard_pipeline can start AOT train setup for the
+    downstream model arms while this stage finishes its host I/O."""
     out = ws.data_hard
     out.mkdir(parents=True, exist_ok=True)
     info_p = out / "build_info.json"
@@ -83,6 +89,12 @@ def prepare_features(source: Source, ws: Workspace,
     x_text, backend = embed_texts(texts, text_cfg, allow_tfidf=True)
     genre_idx, uniq_genres = encode_labels(genres)
     lang_idx, uniq_langs = encode_labels(languages)
+    if on_shapes is not None:
+        try:
+            on_shapes(len(ids), int(x_audio.shape[1]), int(x_text.shape[1]),
+                      len(uniq_genres), len(uniq_langs))
+        except Exception:
+            pass                        # advisory hook — never fatal
 
     np.save(out / "audio_mfcc_stats.npy", x_audio)
     np.save(out / "lyrics_emb.npy", x_text)
@@ -116,7 +128,8 @@ def prepare_features(source: Source, ws: Workspace,
 
 
 def train_hard(ws: Workspace, cfg: HardVaeConfig = HardVaeConfig(),
-               tag: Optional[str] = None, verbose: bool = False) -> Dict:
+               tag: Optional[str] = None, verbose: bool = False,
+               prepared=None) -> Dict:
     d = ws.data_hard
     x_audio = np.load(d / "audio_mfcc_stats.npy")
     x_text = np.load(d / "lyrics_emb.npy")
@@ -140,8 +153,19 @@ def train_hard(ws: Workspace, cfg: HardVaeConfig = HardVaeConfig(),
             parts.append(_one_hot(y_lang, n_langs))
         cond = np.concatenate(parts, axis=1)
 
+    if prepared is not None:
+        # TOLERANT consume (vs model_api's strict raise): the pipeline's
+        # prepare was planned from the SOURCE (row count, genre set,
+        # MiniLM embed width), but script 18 may drop rows or fall back to
+        # TF-IDF — a drift just means the speculation lost; train plain.
+        want = (tuple(x.shape),)
+        if cond is not None and cfg.use_cvae:
+            want += (tuple(cond.shape),)
+        if prepared.cfg != cfg or tuple(prepared.shapes) != want:
+            prepared = None
     model, res, mu = model_api.train_hard_vae(x, cfg, cond=cond,
-                                              verbose=verbose)
+                                              verbose=verbose,
+                                              prepared=prepared)
 
     model_dir = Path(ws.root) / "models" / "hard"
     model_dir.mkdir(parents=True, exist_ok=True)
@@ -309,7 +333,8 @@ def compare_with_baselines(ws: Workspace, k: Optional[int] = None,
                            ae_cfg: AeConfig = AeConfig(),
                            seed: int = 42, tag: Optional[str] = None,
                            latents_path: Optional[Path] = None,
-                           verbose: bool = False) -> List[Dict]:
+                           verbose: bool = False,
+                           prepared_ae=None) -> List[Dict]:
     d = ws.data_hard
     x_audio = np.load(d / "audio_mfcc_stats.npy")
     x_text = np.load(d / "lyrics_emb.npy")
@@ -340,7 +365,12 @@ def compare_with_baselines(ws: Workspace, k: Optional[int] = None,
 
     cfg = AeConfig(**{**asdict(ae_cfg), "input_dim": x_fused.shape[1],
                       "seed": seed})
-    _, _, z_ae = model_api.train_ae(x_fused, cfg, verbose=verbose)
+    if prepared_ae is not None and (prepared_ae.cfg != cfg
+                                    or tuple(prepared_ae.shapes)
+                                    != (tuple(x_fused.shape),)):
+        prepared_ae = None              # speculation lost; train plain
+    _, _, z_ae = model_api.train_ae(x_fused, cfg, verbose=verbose,
+                                    prepared=prepared_ae)
     rows.append(eval_kmeans(f"Autoencoder(z={cfg.latent_dim}) + KMeans (fused)",
                             z_ae))
 
@@ -371,14 +401,70 @@ def run_hard_pipeline(source: Source, ws: Workspace,
                       tag: Optional[str] = None,
                       with_viz: bool = True, device_batch: int = 64,
                       verbose: bool = False) -> Dict:
+    import threading
+
     from vae_hmc_tpu.core.profiling import StageTimer, warm_connection
     timer = StageTimer()
     warm_connection(timer)
     n = len(source)
+
+    # AOT train setup for the script-19 CVAE/Beta-VAE and the script-22 AE
+    # baseline, fired from prepare_features' exact-shape hook (the fused
+    # text width is data-dependent — TF-IDF vocab when MiniLM is absent —
+    # so source-based speculation would lose there).  The VAE setup
+    # overlaps script 18's artifact writes + train_hard's disk loads; the
+    # AE setup overlaps the whole train/cluster/viz span.  A stale handle
+    # (idempotent-skip rerun with changed data) fails the tolerant shape
+    # check in train_hard / compare_with_baselines and the plain path
+    # trains — correctness never depends on the overlap.
+    _prep_box: Dict = {}
+    _threads: Dict[str, threading.Thread] = {}
+
+    def _on_shapes(n_kept, audio_w, text_w, n_genres, n_langs):
+        d = audio_w + text_w
+        if vae_cfg.include_genre_in_input:
+            d += n_genres
+        if vae_cfg.include_lang_in_input:
+            d += n_langs
+        cond_dim = 0
+        if vae_cfg.use_cvae:
+            if vae_cfg.cond_genre or not vae_cfg.cond_lang:
+                cond_dim += n_genres
+            if vae_cfg.cond_lang:
+                cond_dim += n_langs
+
+        def _prepare_vae():
+            try:
+                _prep_box["vae"] = model_api.prepare_hard_vae(
+                    n_kept, d, vae_cfg, cond_dim=cond_dim)
+            except Exception:           # advisory — never fatal
+                pass
+
+        ae_cfg_full = AeConfig(**{**asdict(ae_cfg),
+                                  "input_dim": audio_w + text_w,
+                                  "seed": vae_cfg.seed})
+
+        def _prepare_ae():
+            try:
+                _prep_box["ae"] = model_api.prepare_ae(
+                    n_kept, ae_cfg_full.input_dim, ae_cfg_full)
+            except Exception:
+                pass
+
+        for name, fn in (("vae", _prepare_vae), ("ae", _prepare_ae)):
+            th = threading.Thread(target=fn, daemon=True)
+            th.start()
+            _threads[name] = th
+
     with timer.stage("prepare_features", n):
-        prep = prepare_features(source, ws, mfcc_cfg, text_cfg, device_batch)
+        prep = prepare_features(source, ws, mfcc_cfg, text_cfg, device_batch,
+                                on_shapes=_on_shapes)
+
     with timer.stage("train_hard", n):
-        t = train_hard(ws, vae_cfg, tag=tag, verbose=verbose)
+        if "vae" in _threads:
+            _threads["vae"].join()
+        t = train_hard(ws, vae_cfg, tag=tag, verbose=verbose,
+                       prepared=_prep_box.get("vae"))
     with timer.stage("cluster_and_evaluate", n):
         c = cluster_and_evaluate(ws, seed=vae_cfg.seed, tag=tag)
     v = None
@@ -386,8 +472,11 @@ def run_hard_pipeline(source: Source, ws: Workspace,
         with timer.stage("visualize_latents", n):
             v = visualize_latents(ws, seed=vae_cfg.seed, tag=tag)
     with timer.stage("compare_with_baselines", n):
+        if "ae" in _threads:
+            _threads["ae"].join()
         b = compare_with_baselines(ws, ae_cfg=ae_cfg, seed=vae_cfg.seed,
-                                   tag=tag, verbose=verbose)
+                                   tag=tag, verbose=verbose,
+                                   prepared_ae=_prep_box.get("ae"))
     timer.save(ws.results / "timing_hard.json")
     from vae_hmc_tpu.core import goldens
     q = goldens.check_tier("hard", ws.results, n)
