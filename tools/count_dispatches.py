@@ -20,6 +20,11 @@ import sys
 import tempfile
 from pathlib import Path
 
+
+# Run as a script from anywhere: put the repo root on sys.path (the dev
+# container's site-packages .pth is not guaranteed to exist).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import vae_hmc_tpu  # noqa: F401  (platform shim before jax backend init)
 import jax
 

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pathlib import Path
+
+# Run as a script from anywhere: put the repo root on sys.path (the dev
+# container's site-packages .pth is not guaranteed to exist).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from vae_hmc_tpu.core.artifacts import fetch_pytree_single_buffer
 from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
 

@@ -15,6 +15,13 @@ import argparse
 import time
 import jax
 
+import sys
+from pathlib import Path
+
+# Run as a script from anywhere: put the repo root on sys.path (the dev
+# container's site-packages .pth is not guaranteed to exist).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from vae_hmc_tpu.core.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()

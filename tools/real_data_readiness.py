@@ -12,6 +12,13 @@ and the printed next-step command.  Exit code is always 0 — "blocked" is
 the expected CI state, not a failure.
 """
 from __future__ import annotations
+import sys
+from pathlib import Path
+
+# Run as a script from anywhere: put the repo root on sys.path (the dev
+# container's site-packages .pth is not guaranteed to exist).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 
 import json
 import os
